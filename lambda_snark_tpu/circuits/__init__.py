@@ -1,0 +1,1 @@
+"""circuits subpackage of lambda_snark_tpu."""

@@ -1,0 +1,1 @@
+"""core subpackage of lambda_snark_tpu."""

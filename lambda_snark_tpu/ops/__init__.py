@@ -1,0 +1,1 @@
+"""ops subpackage of lambda_snark_tpu."""

@@ -1,0 +1,1 @@
+"""parallel subpackage of lambda_snark_tpu."""

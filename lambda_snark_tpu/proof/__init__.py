@@ -1,0 +1,1 @@
+"""proof subpackage of lambda_snark_tpu."""

@@ -1,0 +1,1 @@
+"""transcript subpackage of lambda_snark_tpu."""

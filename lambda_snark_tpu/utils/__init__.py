@@ -1,0 +1,1 @@
+"""utils subpackage of lambda_snark_tpu."""

@@ -1,0 +1,118 @@
+"""Verifiers: simple, R1CS two-challenge, and ZK-unblinding variants.
+
+Algorithm parity with the reference ``rust-api/lambda-snark/src/lib.rs``:
+- ``verify_simple`` (``lib.rs:1269-1285``)
+- ``verify_r1cs`` (``lib.rs:1016-1082``): recompute alpha/beta, check
+  Q(x) * Z_H(x) == A_z(x) * B_z(x) - C_z(x) at both challenges
+- ``verify_r1cs_zk`` (``lib.rs:1142-1213``): unblind Q(x) = Q'(x) - r*Z_H(x)
+
+Verification is O(m)-independent except ``eval_vanishing`` on the sequential
+domain (O(m) product), matching the reference's ~1 ms constant verifier
+claim for the roots domains (Z_H(x) = x^m - 1 via one mod-pow).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from .core import field
+from .proof.polynomial import Polynomial
+from .proof.types import EvalOpening, Proof, ProofR1CS, ProofR1csZk
+from .r1cs.r1cs import R1CS
+from .transcript.challenge import Challenge
+
+
+def _verify_eval_opening(opening: EvalOpening, alpha: int, modulus: int) -> bool:
+    """Evaluation-consistency check. Reference ``verify_opening`` (``opening.rs:228-260``)."""
+    if opening.evaluation >= modulus:
+        return False
+    if len(opening.witness) < 2:
+        return False
+    coeffs = [c % modulus for c in opening.witness[1:]]
+    expected = Polynomial(coeffs, modulus).evaluate(alpha)
+    return field.sub_mod(opening.evaluation, expected, modulus) == 0
+
+
+def verify_simple(proof: Proof, public_inputs: Sequence[int], modulus: int) -> bool:
+    recomputed = Challenge.derive(public_inputs, proof.commitment.as_words(), modulus)
+    if proof.challenge.alpha != recomputed.alpha:
+        return False
+    return _verify_eval_opening(proof.opening, proof.challenge.alpha, modulus)
+
+
+def verify_r1cs(proof: ProofR1CS, public_inputs: Sequence[int], r1cs: R1CS) -> bool:
+    q = r1cs.modulus
+    comm_words = proof.commitment_q.as_words()
+    # 1-2. challenge alpha consistency
+    ch_alpha = Challenge.derive(public_inputs, comm_words, q)
+    if proof.challenge_alpha.alpha != ch_alpha.alpha:
+        return False
+    alpha = proof.challenge_alpha.alpha
+    # 3-4. challenge beta consistency
+    ch_beta = Challenge.derive([alpha], comm_words, q)
+    if proof.challenge_beta.alpha != ch_beta.alpha:
+        return False
+    beta = proof.challenge_beta.alpha
+    # 5-6. vanishing evaluations (domain-aware)
+    zh_alpha = r1cs.eval_vanishing(alpha)
+    zh_beta = r1cs.eval_vanishing(beta)
+    # 7. Q(a) * Z_H(a) == A_z(a) * B_z(a) - C_z(a)
+    lhs_a = field.mul_mod(proof.q_alpha, zh_alpha, q)
+    rhs_a = field.sub_mod(
+        field.mul_mod(proof.a_z_alpha, proof.b_z_alpha, q), proof.c_z_alpha, q
+    )
+    if lhs_a != rhs_a:
+        return False
+    # 8. same at beta
+    lhs_b = field.mul_mod(proof.q_beta, zh_beta, q)
+    rhs_b = field.sub_mod(
+        field.mul_mod(proof.a_z_beta, proof.b_z_beta, q), proof.c_z_beta, q
+    )
+    if lhs_b != rhs_b:
+        return False
+    # 9. opening evaluations match claimed values (stub-opening contract,
+    # ``lib.rs:1072-1078``)
+    if proof.opening_alpha.evaluation != proof.q_alpha:
+        return False
+    if proof.opening_beta.evaluation != proof.q_beta:
+        return False
+    return True
+
+
+def verify_r1cs_zk(proof: ProofR1csZk, public_inputs: Sequence[int], r1cs: R1CS) -> bool:
+    q = r1cs.modulus
+    comm_words = proof.commitment_q_prime.as_words()
+    ch_alpha = Challenge.derive(public_inputs, comm_words, q)
+    if proof.challenge_alpha.alpha != ch_alpha.alpha:
+        return False
+    alpha = proof.challenge_alpha.alpha
+    ch_beta = Challenge.derive([alpha], comm_words, q)
+    if proof.challenge_beta.alpha != ch_beta.alpha:
+        return False
+    beta = proof.challenge_beta.alpha
+    zh_alpha = r1cs.eval_vanishing(alpha)
+    zh_beta = r1cs.eval_vanishing(beta)
+    # unblind: Q(x) = Q'(x) - r * Z_H(x)
+    q_alpha = field.sub_mod(
+        proof.q_prime_alpha, field.mul_mod(proof.blinding_factor, zh_alpha, q), q
+    )
+    q_beta = field.sub_mod(
+        proof.q_prime_beta, field.mul_mod(proof.blinding_factor, zh_beta, q), q
+    )
+    lhs_a = field.mul_mod(q_alpha, zh_alpha, q)
+    rhs_a = field.sub_mod(
+        field.mul_mod(proof.a_z_alpha, proof.b_z_alpha, q), proof.c_z_alpha, q
+    )
+    if lhs_a != rhs_a:
+        return False
+    lhs_b = field.mul_mod(q_beta, zh_beta, q)
+    rhs_b = field.sub_mod(
+        field.mul_mod(proof.a_z_beta, proof.b_z_beta, q), proof.c_z_beta, q
+    )
+    if lhs_b != rhs_b:
+        return False
+    if proof.opening_alpha.evaluation != proof.q_prime_alpha:
+        return False
+    if proof.opening_beta.evaluation != proof.q_prime_beta:
+        return False
+    return True

@@ -1,0 +1,236 @@
+"""End-to-end prove/verify: simple, ZK, simulator, R1CS, tv conformance.
+
+Parity intent with reference integration suites (``tests/prove_r1cs.rs``,
+``tests/verify_r1cs.rs`` soundness negatives, ``tests/zk_prover.rs``,
+``tests/zk_simulator.rs``) and the tv corpus (``tests/test_vectors.rs``).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from lambda_snark_tpu import (
+    Challenge,
+    Params,
+    Profile,
+    ProofR1CS,
+    ProofR1csZk,
+    Proof,
+    SecurityLevel,
+    deserialize_any,
+    prove_r1cs,
+    prove_r1cs_zk,
+    prove_simple,
+    prove_zk,
+    setup,
+    simulate_proof,
+    verify_r1cs,
+    verify_r1cs_zk,
+    verify_simple,
+)
+from lambda_snark_tpu.circuits.test_vectors import expected_evals, load_test_vector
+from lambda_snark_tpu.commit.lwe import Commitment
+
+from test_r1cs import mult_gate_r1cs, multiplication_gates, mult_witness
+
+Q = 17592186044417
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    params = Params(
+        SecurityLevel.BITS128, Profile.ring_b(n=128, k=2, q=Q, sigma=3.19)
+    )
+    return setup(params, context_seed=1)
+
+
+# --- simple API -------------------------------------------------------------
+
+
+def test_prove_verify_simple(ctx):
+    witness = [1, 7, 13, 91]
+    public = [1, 91]
+    proof = prove_simple(witness, public, ctx, Q, seed=0x1234)
+    assert verify_simple(proof, public, Q)
+    # wrong public inputs -> challenge mismatch
+    assert not verify_simple(proof, [1, 92], Q)
+
+
+def test_prove_zk_and_determinism(ctx):
+    witness = [1, 7, 13, 91]
+    public = [1, 91]
+    p1 = prove_zk(witness, public, ctx, Q, commit_seed=0x1234, blinding_seed=42)
+    p2 = prove_zk(witness, public, ctx, Q, commit_seed=0x1234, blinding_seed=42)
+    assert verify_simple(p1, public, Q)
+    assert p1.commitment == p2.commitment  # fully deterministic artifacts
+    assert p1.challenge.alpha == p2.challenge.alpha
+    p3 = prove_zk(witness, public, ctx, Q, commit_seed=0x1234, blinding_seed=43)
+    assert p1.commitment != p3.commitment
+
+
+def test_simulator_structure(ctx):
+    public = [1, 91]
+    sim = simulate_proof(3, public, ctx, Q, commit_seed=0x1234, sim_seed=42)
+    # simulated proof passes the challenge-consistency + opening checks
+    assert verify_simple(sim, public, Q)
+    # deterministic given seeds
+    sim2 = simulate_proof(3, public, ctx, Q, commit_seed=0x1234, sim_seed=42)
+    assert sim.commitment == sim2.commitment
+
+
+def test_simulator_indistinguishable_shape(ctx):
+    # same degree/statement: real ZK proof and simulated proof have the same
+    # commitment word-length and opening arity (zk_simulator.rs intent)
+    witness = [1, 7, 13, 91]
+    public = [1, 91]
+    real = prove_zk(witness, public, ctx, Q, commit_seed=1, blinding_seed=2)
+    sim = simulate_proof(3, public, ctx, Q, commit_seed=3, sim_seed=4)
+    assert len(real.commitment.words) == len(sim.commitment.words)
+    assert len(real.opening.witness) == len(sim.opening.witness)
+
+
+# --- R1CS API ---------------------------------------------------------------
+
+
+def test_prove_verify_r1cs(ctx):
+    r1cs = mult_gate_r1cs()
+    witness = [1, 7, 13, 91]
+    proof = prove_r1cs(r1cs, witness, ctx, seed=0x1234)
+    public = r1cs.public_inputs(witness)
+    assert verify_r1cs(proof, public, r1cs)
+
+
+def test_prove_r1cs_deterministic(ctx):
+    r1cs = mult_gate_r1cs()
+    witness = [1, 7, 13, 91]
+    p1 = prove_r1cs(r1cs, witness, ctx, seed=7)
+    p2 = prove_r1cs(r1cs, witness, ctx, seed=7)
+    assert p1.to_bytes() == p2.to_bytes()
+
+
+def test_verify_r1cs_soundness_negatives(ctx):
+    # tampered proofs must fail (verify_r1cs.rs intent)
+    r1cs = mult_gate_r1cs()
+    witness = [1, 7, 13, 91]
+    proof = prove_r1cs(r1cs, witness, ctx, seed=0x1234)
+    public = r1cs.public_inputs(witness)
+
+    tampered = dataclasses.replace(proof, q_alpha=(proof.q_alpha + 1) % Q)
+    assert not verify_r1cs(tampered, public, r1cs)
+
+    tampered = dataclasses.replace(proof, a_z_beta=(proof.a_z_beta + 1) % Q)
+    assert not verify_r1cs(tampered, public, r1cs)
+
+    # wrong public inputs
+    assert not verify_r1cs(proof, [1, 92], r1cs)
+
+    # tampered commitment -> challenge mismatch
+    words = np.array(proof.commitment_q.words, dtype=np.uint64).copy()
+    words[0] += np.uint64(1)
+    tampered = dataclasses.replace(proof, commitment_q=Commitment(words))
+    assert not verify_r1cs(tampered, public, r1cs)
+
+    # tampered stored challenge
+    bad_ch = Challenge(alpha=(proof.challenge_alpha.alpha + 1) % Q,
+                       hash=proof.challenge_alpha.hash)
+    tampered = dataclasses.replace(proof, challenge_alpha=bad_ch)
+    assert not verify_r1cs(tampered, public, r1cs)
+
+
+def test_prove_verify_r1cs_zk(ctx):
+    r1cs = multiplication_gates(3, Q)
+    witness = mult_witness(3, Q, seed=5)
+    proof = prove_r1cs_zk(r1cs, witness, ctx, seed=9, blinding_seed=10)
+    public = r1cs.public_inputs(witness)
+    assert verify_r1cs_zk(proof, public, r1cs)
+    # blinding factor is honored in unblinding: tamper and fail
+    tampered = dataclasses.replace(
+        proof, blinding_factor=(proof.blinding_factor + 1) % Q
+    )
+    assert not verify_r1cs_zk(tampered, public, r1cs)
+
+
+def test_zk_blinding_changes_commitment(ctx):
+    r1cs = mult_gate_r1cs()
+    witness = [1, 7, 13, 91]
+    plain = prove_r1cs(r1cs, witness, ctx, seed=3)
+    zk = prove_r1cs_zk(r1cs, witness, ctx, seed=3, blinding_seed=4)
+    assert plain.commitment_q != zk.commitment_q_prime
+
+
+# --- serialization round-trip ----------------------------------------------
+
+
+def test_proof_serialization_roundtrip(ctx):
+    r1cs = mult_gate_r1cs()
+    witness = [1, 7, 13, 91]
+    public = r1cs.public_inputs(witness)
+
+    p = prove_r1cs(r1cs, witness, ctx, seed=5)
+    data = p.to_bytes()
+    p2 = ProofR1CS.from_bytes(data)
+    assert p2.to_bytes() == data
+    assert verify_r1cs(p2, public, r1cs)
+
+    z = prove_r1cs_zk(r1cs, witness, ctx, seed=5, blinding_seed=6)
+    z2 = ProofR1csZk.from_bytes(z.to_bytes())
+    assert z2.to_bytes() == z.to_bytes()
+    assert verify_r1cs_zk(z2, public, r1cs)
+
+    s = prove_simple(witness, public, ctx, Q, seed=1)
+    s2 = Proof.from_bytes(s.to_bytes())
+    assert s2.to_bytes() == s.to_bytes()
+    assert verify_simple(s2, public, Q)
+
+    assert isinstance(deserialize_any(data), ProofR1CS)
+
+
+# --- tv conformance ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("index", [0, 1, 2])
+def test_tv_constraints_satisfied(tv_dir, index):
+    tv = load_test_vector(index, tv_dir)
+    assert tv.expected_valid
+    assert tv.r1cs.is_satisfied(tv.witness)
+    assert tv.params.q == Q
+    assert tv.r1cs.domain.kind == "sequential"
+
+
+@pytest.mark.parametrize("index", [1, 2])
+def test_tv_expected_evals(tv_dir, index):
+    tv = load_test_vector(index, tv_dir)
+    az, bz, cz = tv.r1cs.compute_constraint_evals(tv.witness)
+    eaz, ebz, ecz = expected_evals(index, tv_dir)
+    assert az == [v % Q for v in eaz]
+    assert bz == [v % Q for v in ebz]
+    assert cz == [v % Q for v in ecz]
+
+
+@pytest.mark.parametrize("index", [0, 1, 2])
+def test_tv_end_to_end_proof(tv_dir, ctx, index):
+    tv = load_test_vector(index, tv_dir)
+    proof = prove_r1cs(tv.r1cs, tv.witness, ctx, seed=tv.seed)
+    public = tv.r1cs.public_inputs(tv.witness)
+    assert verify_r1cs(proof, public, tv.r1cs)
+    # deterministic artifact: proving twice with the tv seed is bit-identical
+    proof2 = prove_r1cs(tv.r1cs, tv.witness, ctx, seed=tv.seed)
+    assert proof.to_bytes() == proof2.to_bytes()
+    # ZK variant also verifies
+    zk = prove_r1cs_zk(tv.r1cs, tv.witness, ctx, seed=tv.seed, blinding_seed=tv.seed)
+    assert verify_r1cs_zk(zk, public, tv.r1cs)
+
+
+def test_tv_witness_values(tv_dir):
+    tv1 = load_test_vector(1, tv_dir)
+    assert tv1.witness == [1, 7, 13, 91]
+    tv2 = load_test_vector(2, tv_dir)
+    assert tv2.witness == [1, 314, 628, 471, 471]
+    tv0 = load_test_vector(0, tv_dir)
+    # tv-0's JSON z does NOT satisfy Az = b (reference data inconsistency,
+    # see docs/reference_notes.md); the loader solves the system over F_q.
+    assert tv0.raw_json_witness == [1, 1, 2, 3, 4, 5]
+    assert tv0.witness != tv0.raw_json_witness
+    assert tv0.r1cs.is_satisfied(tv0.witness)
+    assert not tv0.r1cs.is_satisfied(tv0.raw_json_witness)
