@@ -1,0 +1,173 @@
+"""JAX digit-plane modular arithmetic (uint32, TPU-native).
+
+Operates on stacked digit planes of shape (D, ...) as defined in
+``ops.limb``; every function is pure jnp on uint32 and traces into a handful
+of VPU ops, so it works identically in plain jitted code and inside Pallas
+kernel bodies. Semantics contract: ``core.field`` (bit-exact, tested in
+``tests/test_limb_jax.py``).
+
+Reduction is Barrett (HAC 14.42) with base 2^16; all bounds are static:
+digit products < 2^32, column sums < 2^20, carries < 2^5.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+
+from .limb import BASE_BITS, MASK, ModulusCtx
+
+_MASK = jnp.uint32(MASK)
+_SHIFT = jnp.uint32(BASE_BITS)
+_ONE = jnp.uint32(1)
+_ZERO = jnp.uint32(0)
+_B31 = jnp.uint32(31)
+
+
+def _unstack(x) -> List:
+    return [x[i] for i in range(x.shape[0])]
+
+
+def _const_digits(digits: Sequence[int]) -> List:
+    return [jnp.uint32(d) for d in digits]
+
+
+def _carry_propagate(cols: List, out_digits: int):
+    """Columns (each < 2^31) -> normalized 16-bit digits + final carry."""
+    digits = []
+    carry = _ZERO
+    for k in range(out_digits):
+        tot = (cols[k] if k < len(cols) else _ZERO) + carry
+        digits.append(tot & _MASK)
+        carry = tot >> _SHIFT
+    return digits, carry
+
+
+def _digit_add(a: List, b: List):
+    """Digit-wise add with carry chain; returns (digits, carry)."""
+    n = max(len(a), len(b))
+    cols = [
+        (a[i] if i < len(a) else _ZERO) + (b[i] if i < len(b) else _ZERO)
+        for i in range(n)
+    ]
+    return _carry_propagate(cols, n)
+
+
+def _digit_sub(a: List, b: List):
+    """a - b with borrow chain; returns (digits, borrow) in uint32."""
+    n = max(len(a), len(b))
+    digits = []
+    borrow = _ZERO
+    for i in range(n):
+        ai = a[i] if i < len(a) else _ZERO
+        bi = b[i] if i < len(b) else _ZERO
+        diff = ai - bi - borrow  # wraps mod 2^32; digits < 2^16 so bit 31 flags
+        borrow = diff >> _B31
+        digits.append(diff & _MASK)
+    return digits, borrow
+
+
+def _digit_mul(a: List, b: List, out_digits: int | None = None) -> List:
+    """Schoolbook digit multiply with lo/hi column accumulation."""
+    na, nb = len(a), len(b)
+    total = na + nb
+    if out_digits is None:
+        out_digits = total
+    ncols = min(out_digits, total)
+    cols = [None] * (ncols + 1)
+    for i in range(na):
+        for j in range(nb):
+            k = i + j
+            if k >= ncols + 1:
+                continue
+            p = a[i] * b[j]
+            if k < ncols:
+                lo = p & _MASK
+                cols[k] = lo if cols[k] is None else cols[k] + lo
+            if k + 1 < ncols + 1:
+                hi = p >> _SHIFT
+                cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
+    cols = [c if c is not None else _ZERO for c in cols[:ncols]]
+    digits, _ = _carry_propagate(cols, out_digits)
+    return digits
+
+
+def _select(cond, a: List, b: List) -> List:
+    """Per-element digit select: cond ? a : b (cond uint32 0/1 array)."""
+    c = cond.astype(jnp.bool_)
+    return [jnp.where(c, x, y) for x, y in zip(a, b)]
+
+
+def _cond_sub(r: List, q_ext: List) -> List:
+    """r >= q ? r - q : r (one round)."""
+    t, borrow = _digit_sub(r, q_ext)
+    return _select(borrow == 0, t, r)
+
+
+def add_mod(ctx: ModulusCtx, a, b):
+    """(a + b) mod q on (D, ...) planes."""
+    al, bl = _unstack(a), _unstack(b)
+    s, carry = _digit_add(al, bl)
+    t, borrow = _digit_sub(s, _const_digits(ctx.q_digits))
+    out = _select((carry == 1) | (borrow == 0), t, s)
+    return jnp.stack(out)
+
+
+def sub_mod(ctx: ModulusCtx, a, b):
+    """(a - b) mod q on (D, ...) planes."""
+    al, bl = _unstack(a), _unstack(b)
+    t, borrow = _digit_sub(al, bl)
+    t_plus_q, _ = _digit_add(t, _const_digits(ctx.q_digits))
+    out = _select(borrow == 1, t_plus_q, t)
+    return jnp.stack(out)
+
+
+def _mul_mod_digits(ctx: ModulusCtx, al: List, bl: List) -> List:
+    d = ctx.d
+    # full 2D-digit product
+    t = _digit_mul(al, bl, out_digits=2 * d)
+    # Barrett: q1 = floor(x / b^(d-1))  (d+1 digits)
+    q1 = t[d - 1 : 2 * d]
+    mu = _const_digits(ctx.mu_digits)
+    q2 = _digit_mul(q1, mu)  # 2d+2 digits
+    q3 = q2[d + 1 :]  # d+1 digits
+    q3q = _digit_mul(q3, _const_digits(ctx.q_digits_ext), out_digits=d + 1)
+    r, _ = _digit_sub(t[: d + 1], q3q)  # mod b^(d+1), borrow discarded
+    q_ext = _const_digits(ctx.q_digits_ext)
+    r = _cond_sub(r, q_ext)
+    r = _cond_sub(r, q_ext)
+    return r[:d]
+
+
+def mul_mod(ctx: ModulusCtx, a, b):
+    """(a * b) mod q on (D, ...) planes (Barrett)."""
+    out = _mul_mod_digits(ctx, _unstack(a), _unstack(b))
+    return jnp.stack(out)
+
+
+def mul_mod_const(ctx: ModulusCtx, a, const_digits: Sequence[int]):
+    """a * c mod q with a per-call constant c (twiddle factors etc.)."""
+    out = _mul_mod_digits(ctx, _unstack(a), _const_digits(const_digits))
+    return jnp.stack(out)
+
+
+def reduce_mod(ctx: ModulusCtx, a):
+    """Canonicalize planes holding values < 2^(16 D) into [0, q)."""
+    al = _unstack(a)
+    q_d = _const_digits(ctx.q_digits)
+    out = _cond_sub(al, q_d)
+    out = _cond_sub(out, q_d)
+    return jnp.stack(out)
+
+
+def zeros_like_planes(ctx: ModulusCtx, shape) -> jnp.ndarray:
+    return jnp.zeros((ctx.d,) + tuple(shape), dtype=jnp.uint32)
+
+
+# Jitted entry points (ctx is static: frozen dataclass of ints/tuples).
+import jax as _jax
+
+add_mod_jit = _jax.jit(add_mod, static_argnums=(0,))
+sub_mod_jit = _jax.jit(sub_mod, static_argnums=(0,))
+mul_mod_jit = _jax.jit(mul_mod, static_argnums=(0,))
