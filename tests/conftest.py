@@ -8,8 +8,10 @@ prescribes; real-TPU runs happen only via ``bench.py``.
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Unconditional: the sandbox
+# pins JAX_PLATFORMS=axon (real TPU over a tunnel), which would silently route
+# every test op through the tunnel; tests always run on local CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +21,13 @@ if "xla_force_host_platform_device_count" not in flags:
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+# The sandbox's sitecustomize registers the axon TPU platform at interpreter
+# startup and rewrites jax_platforms to "axon,cpu"; env vars alone cannot
+# undo that, so pin the config explicitly.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_ROOT = "/root/reference"
 TEST_VECTOR_DIR = os.path.join(REFERENCE_ROOT, "test-vectors")
