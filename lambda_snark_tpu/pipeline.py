@@ -1,0 +1,156 @@
+"""Batched device proving pipeline (single chip).
+
+The heavy stage of ``prove_r1cs`` for roots-domain circuits, fully on device
+and batched over proofs:
+
+    inputs:  a/b/c constraint evaluations (B, m) on the NTT domain
+    outputs: quotient coefficients Q (B, m), commitment words (B, n),
+             per-proof validity flags
+
+Quotient without polynomial division (coset trick): with H the m-th roots
+and Z_H = X^m - 1, evaluate N = A*B - C on the *odd* 2m-th roots
+(psi * omega^t, psi = omega_2m): there X^m = -1, so Z_H = -2 identically and
+
+    Q(psi w^t) = N(psi w^t) * (-2)^{-1}.
+
+Evaluations of any degree-<m polynomial on the odd coset are exactly its
+negacyclic NTT, so the whole pipeline is: iNTT (interpolate) ->
+negacyclic NTT -> pointwise -> scale -> inverse negacyclic NTT. deg Q <= m-2
+< m, hence Q is recovered exactly; validity (exact division) is equivalent to
+the residual a.b - c vanishing on the even coset, which is checked from the
+inputs directly. Bit-exact with the host ``compute_quotient_poly`` on the
+roots domain (``tests/test_pipeline.py``).
+
+Host glue (transcripts, Horner evaluations at alpha/beta) stays in
+``prover_batched.py`` — SHA3 is inherently host-side, exactly like the
+reference's Rust-side transcript around the C++ kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import field
+from .core.errors import DomainError
+from .core.params import NTT_FRIENDLY_MODULUS, ROOTS_OF_UNITY_45BIT
+from .ops import modarith
+from .ops.limb import int_to_digits, modulus_ctx, to_limbs
+from .ops.ntt_jax import (
+    NttPlan,
+    ntt_forward_negacyclic,
+    ntt_inverse,
+    ntt_inverse_negacyclic,
+    ntt_plan,
+)
+from .commit.lwe_jax import DeviceCommitContext, commit_batch
+
+
+def field_plan_for(m: int, q: int) -> NttPlan:
+    """Field-domain plan with both cyclic root (omega_m) and psi = omega_2m."""
+    if q == NTT_FRIENDLY_MODULUS:
+        if 2 * m not in ROOTS_OF_UNITY_45BIT:
+            raise DomainError(f"no 2m-th root for m={m} over q={q}")
+        psi = ROOTS_OF_UNITY_45BIT[2 * m]
+        omega = ROOTS_OF_UNITY_45BIT[m]
+        # use psi^2 as omega to guarantee psi^2 == omega exactly
+        omega = field.mul_mod(psi, psi, q)
+        return ntt_plan(m, q, omega, negacyclic_psi=psi)
+    from .core.params import NTT_MODULUS, NTT_PRIMITIVE_ROOT
+
+    if q == NTT_MODULUS:
+        omega = field.mod_pow(NTT_PRIMITIVE_ROOT, (1 << 32) // m, q)
+        psi = field.mod_pow(NTT_PRIMITIVE_ROOT, (1 << 32) // (2 * m), q)
+        return ntt_plan(m, q, omega, negacyclic_psi=psi)
+    raise DomainError(f"no NTT-friendly structure for modulus {q}")
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ProvePlan:
+    """Static plan for the batched device prove stage."""
+
+    m: int
+    q: int
+    plan: NttPlan
+    dctx: DeviceCommitContext
+    neg_half_inv_digits: tuple  # digits of (-2)^{-1} mod q
+
+    @staticmethod
+    def create(m: int, q: int, dctx: DeviceCommitContext) -> "ProvePlan":
+        plan = field_plan_for(m, q)
+        inv = field.mod_inverse(q - 2, q)  # (-2)^{-1}
+        return ProvePlan(
+            m=m,
+            q=q,
+            plan=plan,
+            dctx=dctx,
+            neg_half_inv_digits=tuple(int_to_digits(inv, plan.ctx.d)),
+        )
+
+
+def quotient_batch(pp: ProvePlan, a_evals, b_evals, c_evals):
+    """(D, B, m) NTT-domain evals -> (Q, A_z, B_z, C_z coeffs, valid (B,)).
+
+    Also returns the interpolated constraint polynomials (the prover needs
+    their evaluations at alpha/beta; reference ``lib.rs:769-785``).
+    """
+    ctx = pp.plan.ctx
+    # interpolate to coefficients
+    a_poly = ntt_inverse(pp.plan, a_evals)
+    b_poly = ntt_inverse(pp.plan, b_evals)
+    c_poly = ntt_inverse(pp.plan, c_evals)
+    # odd-coset evaluations (negacyclic NTT)
+    a_odd = ntt_forward_negacyclic(pp.plan, a_poly)
+    b_odd = ntt_forward_negacyclic(pp.plan, b_poly)
+    c_odd = ntt_forward_negacyclic(pp.plan, c_poly)
+    n_odd = modarith.sub_mod(ctx, modarith.mul_mod(ctx, a_odd, b_odd), c_odd)
+    q_odd = modarith.mul_mod_const(ctx, n_odd, pp.neg_half_inv_digits)
+    q_coeffs = ntt_inverse_negacyclic(pp.plan, q_odd)
+    # validity: residual a.b - c must vanish on the even coset (the inputs)
+    residual = modarith.sub_mod(
+        ctx, modarith.mul_mod(ctx, a_evals, b_evals), c_evals
+    )
+    valid = jnp.all(residual == 0, axis=(0, 2))
+    return q_coeffs, a_poly, b_poly, c_poly, valid
+
+
+def _field_planes_to_ring(pp: ProvePlan, planes):
+    """(Dq, B, m) field planes -> (Dp, B, n) Goldilocks ring planes.
+
+    Field values < q < p share the 16-bit digit base, so embedding =
+    zero-extend the digit axis and zero-pad coefficients m -> n.
+    """
+    dq = planes.shape[0]
+    dp = pp.dctx.plan.ctx.d
+    b = planes.shape[1]
+    out = planes
+    if dp > dq:
+        pad = jnp.zeros((dp - dq,) + planes.shape[1:], dtype=jnp.uint32)
+        out = jnp.concatenate([out, pad], axis=0)
+    if pp.dctx.n > pp.m:
+        padn = jnp.zeros((dp, b, pp.dctx.n - pp.m), dtype=jnp.uint32)
+        out = jnp.concatenate([out, padn], axis=-1)
+    return out
+
+
+def prove_stage_batch(pp: ProvePlan, a_evals, b_evals, c_evals, key):
+    """Full device stage: quotient + commitment.
+
+    Returns (q_coeffs, a_poly, b_poly, c_poly (D, B, m),
+             commitment planes (Dp, B, n), valid (B,)).
+    """
+    q_coeffs, a_poly, b_poly, c_poly, valid = quotient_batch(
+        pp, a_evals, b_evals, c_evals
+    )
+    msg_planes = _field_planes_to_ring(pp, q_coeffs)
+    c_planes, _s, _e = commit_batch(pp.dctx, msg_planes, key)
+    return q_coeffs, a_poly, b_poly, c_poly, c_planes, valid
+
+
+prove_stage_batch_jit = jax.jit(prove_stage_batch, static_argnums=(0,))
+quotient_batch_jit = jax.jit(quotient_batch, static_argnums=(0,))

@@ -1,0 +1,124 @@
+"""Batched R1CS proving: device heavy stage + host transcripts.
+
+``prove_r1cs_batched`` proves B witnesses against one roots-domain R1CS in a
+single device invocation (the "vmap over proof batch" of the north star):
+
+    host:   SpMV per witness  (sparse, tiny — reference ``sparse_matrix.rs``)
+    device: interpolation, quotient, Module-LWE commitment  (``pipeline.py``)
+    host:   SHA3 Fiat-Shamir transcripts + Horner evaluations + assembly
+
+Commitments here use the device ("threefry") randomness suite keyed from the
+per-batch master seed — deterministic given (context_seed, r1cs, witnesses,
+seed), like everything else in this framework.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .commit.lwe import Commitment, LweContext
+from .commit.lwe_jax import DeviceCommitContext
+from .core import field
+from .core.errors import DomainError, InvalidWitnessError
+from .pipeline import ProvePlan, prove_stage_batch_jit
+from .proof.types import EvalOpening, ProofR1CS
+from .r1cs.r1cs import R1CS
+from .ops.limb import from_limbs, from_limbs_u64, modulus_ctx, to_limbs
+from .transcript.challenge import derive_dual
+
+_PLAN_CACHE: dict = {}
+_DCTX_CACHE: dict = {}
+
+
+def _prove_plan(r1cs: R1CS, ctx: LweContext) -> ProvePlan:
+    key = (r1cs.m, r1cs.modulus, id(ctx))
+    if key not in _PLAN_CACHE:
+        if id(ctx) not in _DCTX_CACHE:
+            _DCTX_CACHE[id(ctx)] = DeviceCommitContext.from_host(ctx)
+        _PLAN_CACHE[key] = ProvePlan.create(
+            r1cs.m, r1cs.modulus, _DCTX_CACHE[id(ctx)]
+        )
+    return _PLAN_CACHE[key]
+
+
+def prove_r1cs_batched(
+    r1cs: R1CS,
+    witnesses: Sequence[Sequence[int]],
+    ctx: LweContext,
+    seed: int,
+) -> List[ProofR1CS]:
+    if r1cs.domain.kind != "roots":
+        raise DomainError(
+            "batched device proving requires a roots (NTT) domain; "
+            f"got {r1cs.domain.kind} for q={r1cs.modulus}, m={r1cs.m}"
+        )
+    if r1cs.m > ctx.n:
+        raise DomainError(f"quotient length m={r1cs.m} exceeds ring degree {ctx.n}")
+    q = r1cs.modulus
+    b = len(witnesses)
+    pp = _prove_plan(r1cs, ctx)
+    # sanity: plan domain must equal the R1CS domain (same omega ordering)
+    assert field.mul_mod(pp.plan.omega, 1, q) == r1cs.domain.omega % q, (
+        "device plan omega != r1cs domain omega"
+    )
+
+    # host SpMV -> stacked evals
+    evs = [r1cs.compute_constraint_evals(w) for w in witnesses]
+    d = pp.plan.ctx.d
+
+    def stack(idx):
+        arr = np.array([e[idx] for e in evs], dtype=object)  # (B, m)
+        return jnp.asarray(to_limbs(arr, d))
+
+    a_e, b_e, c_e = stack(0), stack(1), stack(2)
+    key = jax.random.PRNGKey(seed & 0x7FFFFFFF)
+    q_pl, a_pl, b_pl, c_pl, comm_pl, valid = prove_stage_batch_jit(
+        pp, a_e, b_e, c_e, key
+    )
+    valid = np.asarray(valid)
+    if not valid.all():
+        bad = [i for i, v in enumerate(valid) if not v]
+        raise InvalidWitnessError(f"witnesses {bad} do not satisfy the R1CS")
+
+    q_host = from_limbs(np.asarray(q_pl))  # (B, m) object ints
+    a_host = from_limbs(np.asarray(a_pl))
+    b_host = from_limbs(np.asarray(b_pl))
+    c_host = from_limbs(np.asarray(c_pl))
+    comm_words = from_limbs_u64(np.asarray(comm_pl))  # (B, n) uint64
+
+    proofs = []
+    for i in range(b):
+        commitment = Commitment(comm_words[i])
+        words = commitment.as_words()
+        public_inputs = r1cs.public_inputs(witnesses[i])
+        ch_a, ch_b = derive_dual(public_inputs, words, q)
+        alpha, beta = ch_a.alpha, ch_b.alpha
+        qc = [int(v) for v in q_host[i]]
+        ac = [int(v) for v in a_host[i]]
+        bc = [int(v) for v in b_host[i]]
+        cc = [int(v) for v in c_host[i]]
+        q_alpha = field.horner_eval(qc, alpha, q)
+        q_beta = field.horner_eval(qc, beta, q)
+        proofs.append(
+            ProofR1CS(
+                commitment_q=commitment,
+                challenge_alpha=ch_a,
+                challenge_beta=ch_b,
+                q_alpha=q_alpha,
+                q_beta=q_beta,
+                a_z_alpha=field.horner_eval(ac, alpha, q),
+                b_z_alpha=field.horner_eval(bc, alpha, q),
+                c_z_alpha=field.horner_eval(cc, alpha, q),
+                a_z_beta=field.horner_eval(ac, beta, q),
+                b_z_beta=field.horner_eval(bc, beta, q),
+                c_z_beta=field.horner_eval(cc, beta, q),
+                opening_alpha=EvalOpening(evaluation=q_alpha),
+                opening_beta=EvalOpening(evaluation=q_beta),
+                modulus=q,
+            )
+        )
+    return proofs
