@@ -59,23 +59,27 @@ def _fresh_norm_bound(sigma: float) -> int:
 def _shake_words_mod_p(tag: bytes, seed_bytes: bytes, count: int) -> np.ndarray:
     """Uniform words mod p via SHAKE256 with rejection sampling.
 
-    Rejection threshold: accept w < floor(2^64/p)*p = p (since p > 2^63,
-    floor(2^64/p) = 1), i.e. reject w >= p. Expected rejects ~ 2^-32.
+    One XOF stream (SHAKE output is a prefix-consistent byte stream): read
+    consecutive LE u64 words, reject w >= p (p > 2^63 so the acceptance rate
+    is 1 - ~2^-32), stop after ``count`` accepted words. The native C++
+    implementation (``native/src/commitment.cpp``) consumes the identical
+    stream, giving bit-identical expanded matrices.
     """
+    xof = hashlib.shake_256(tag + seed_bytes)
     out = np.empty(count, dtype=np.uint64)
     filled = 0
-    block = 0
+    length = 8 * count + 64
+    offset = 0
+    stream = xof.digest(length)
     while filled < count:
-        xof = hashlib.shake_256(tag + seed_bytes + block.to_bytes(8, "little"))
-        stream = xof.digest(8 * (count - filled) + 64)
-        for i in range(0, len(stream) - 7, 8):
-            w = int.from_bytes(stream[i : i + 8], "little")
-            if w < RING_MODULUS:
-                out[filled] = w
-                filled += 1
-                if filled == count:
-                    break
-        block += 1
+        if offset + 8 > len(stream):
+            length *= 2
+            stream = xof.digest(length)  # prefix-consistent re-squeeze
+        w = int.from_bytes(stream[offset : offset + 8], "little")
+        offset += 8
+        if w < RING_MODULUS:
+            out[filled] = w
+            filled += 1
     return out
 
 

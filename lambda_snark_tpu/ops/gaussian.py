@@ -36,21 +36,43 @@ U64_MAX = (1 << 64) - 1
 
 
 def build_cdf(sigma: float) -> np.ndarray:
-    """Build the u64-scaled CDF table. Reference ``utils.cpp:23-100``."""
+    """Build the u64-scaled CDF table. Reference ``utils.cpp:23-100``.
+
+    Deliberately scalar/sequential IEEE-double arithmetic (``math.exp``,
+    ordered summation): the native C++ implementation
+    (``native/src/gaussian.cpp``) performs the identical double-precision
+    operation sequence, so both languages produce bit-identical tables —
+    the cross-language conformance anchor for commitment randomness.
+    """
     if not (sigma > 0.0) or not math.isfinite(sigma):
         raise ValueError(f"sigma must be positive and finite, got {sigma}")
     bound = math.ceil(TAIL_CUTOFF * sigma)
     if bound < 8:
         bound = 8
-    ks = np.arange(bound + 1, dtype=np.float64)
-    weights = np.exp(-(ks * ks) / (2.0 * sigma * sigma))
-    weights[1:] *= 2.0  # fold +/-k
-    total = float(weights.sum())
-    cdf = np.cumsum(weights) * (U64_MAX / total)
-    table = np.clip(cdf, 0.0, float(U64_MAX)).astype(np.float64)
+    weights = []
+    total = 0.0
+    for k in range(bound + 1):
+        w = math.exp(-(float(k) * float(k)) / (2.0 * sigma * sigma))
+        if k > 0:
+            w *= 2.0
+        weights.append(w)
+        total += w
     out = np.empty(bound + 1, dtype=np.uint64)
-    for i, v in enumerate(table):
-        out[i] = U64_MAX if v >= float(U64_MAX) else int(v)
+    if total == 0.0:
+        out.fill(0)
+        out[-1] = U64_MAX
+        return out
+    scale = float(U64_MAX) / total
+    cumulative = 0.0
+    for k, w in enumerate(weights):
+        cumulative += w
+        value = cumulative * scale
+        if value >= float(U64_MAX):
+            out[k] = U64_MAX
+        elif value <= 0.0:
+            out[k] = 0
+        else:
+            out[k] = int(value)
     out[-1] = U64_MAX
     return out
 
