@@ -1,0 +1,391 @@
+"""Command-line interface.
+
+Subcommand parity with the reference CLI (``lambda-snark-cli/src/main.rs:
+14-111``): setup / prove / verify / info / r1cs-example /
+range-proof-example / benchmark / healthcare-example — plus lean-export and
+validate-params. Unlike the reference, setup/prove/verify are fully
+implemented (the reference prints "not implemented" warnings,
+``main.rs:117-179``).
+
+Circuit files use a JSON schema compatible with the reference test-vector
+``constraints.json`` shape (COO entries, signed values).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+from typing import List, Optional
+
+from . import (
+    LEGACY_MODULUS,
+    Params,
+    Profile,
+    SecurityLevel,
+    deserialize_any,
+    prove_r1cs,
+    prove_r1cs_zk,
+    setup,
+    verify_r1cs,
+    verify_r1cs_zk,
+)
+from .core.errors import LambdaSnarkError
+from .proof.types import ProofR1CS, ProofR1csZk
+from .r1cs.r1cs import R1CS
+from .r1cs.sparse import SparseMatrix
+
+DEFAULT_MODULUS = LEGACY_MODULUS  # prime CLI modulus (main.rs:235)
+
+
+def _default_params(q: int, n: int = 4096, k: int = 2, sigma: float = 3.19) -> Params:
+    return Params(SecurityLevel.BITS128, Profile.ring_b(n=n, k=k, q=q, sigma=sigma))
+
+
+def _load_circuit(path: str) -> R1CS:
+    with open(path) as f:
+        data = json.load(f)
+    q = data.get("modulus", DEFAULT_MODULUS)
+    m, n, l = data["m"], data["n"], data.get("l", 1)
+    mats = {}
+    if "constraints" in data:
+        for side in "ABC":
+            entries = {}
+            for con in data["constraints"]:
+                for e in con.get(side, []):
+                    entries[(e["row"], e["col"])] = int(e["value"]) % q
+            mats[side] = SparseMatrix.from_map(m, n, entries)
+    else:
+        for side in "ABC":
+            entries = {
+                (e["row"], e["col"]): int(e["value"]) % q for e in data[side.lower()]
+            }
+            mats[side] = SparseMatrix.from_map(m, n, entries)
+    return R1CS(m=m, n=n, l=l, a=mats["A"], b=mats["B"], c=mats["C"], modulus=q)
+
+
+def _load_witness(path: str) -> List[int]:
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        data = data.get("witness") or data.get("z")
+    return [int(v) for v in data]
+
+
+def cmd_info(args) -> int:
+    from . import __version__
+    from .core.params import (
+        LEGACY_COMPOSITE_MODULUS,
+        NTT_FRIENDLY_MODULUS,
+        NTT_MODULUS,
+    )
+
+    print(f"lambda-snark-tpu {__version__}")
+    print("TPU-native lattice-SNARK prover (JAX/XLA/Pallas)")
+    print()
+    print("Canonical moduli:")
+    print(f"  legacy (composite, tv-0/1/2):  {LEGACY_COMPOSITE_MODULUS}")
+    print(f"  legacy prime (CLI default):    {LEGACY_MODULUS}")
+    print(f"  45-bit NTT-friendly:           {NTT_FRIENDLY_MODULUS}  (m <= 2^13)")
+    print(f"  Goldilocks:                    {NTT_MODULUS}  (m <= 2^32)")
+    print()
+    try:
+        import jax
+
+        print(f"jax {jax.__version__}, devices: {jax.devices()}")
+    except Exception as exc:  # noqa: BLE001
+        print(f"jax unavailable: {exc}")
+    from . import native_bridge
+
+    print(f"native library: {'available' if native_bridge.available() else 'not built'}")
+    return 0
+
+
+def cmd_r1cs_example(args) -> int:
+    from .circuits.examples import multiplication_circuit
+
+    q = args.modulus
+    print(f"R1CS example: prove knowledge of factors of 91 (mod {q})")
+    t0 = time.time()
+    r1cs, witness = multiplication_circuit(q)
+    build_ms = (time.time() - t0) * 1e3
+    assert r1cs.is_satisfied(witness)
+    ctx = setup(_default_params(q, n=args.ring_degree))
+    t0 = time.time()
+    proof = prove_r1cs(r1cs, witness, ctx, seed=args.seed)
+    prove_ms = (time.time() - t0) * 1e3
+    public = r1cs.public_inputs(witness)
+    t0 = time.time()
+    ok = verify_r1cs(proof, public, r1cs)
+    verify_ms = (time.time() - t0) * 1e3
+    print(f"  circuit build: {build_ms:.2f} ms")
+    print(f"  prove:         {prove_ms:.2f} ms")
+    print(f"  verify:        {verify_ms:.2f} ms -> {'ACCEPT' if ok else 'REJECT'}")
+    print(f"  proof size:    {len(proof.to_bytes())} bytes")
+    return 0 if ok else 1
+
+
+def cmd_range_proof_example(args) -> int:
+    from .circuits.examples import range_proof_circuit, range_proof_witness
+
+    q = args.modulus
+    value, bits = args.value, args.bits
+    print(f"Range proof: 0 <= {value} < 2^{bits} (mod {q})")
+    r1cs = range_proof_circuit(q, bits=bits)
+    witness = range_proof_witness(q, value, bits=bits)
+    assert r1cs.is_satisfied(witness)
+    ctx = setup(_default_params(q, n=args.ring_degree))
+    t0 = time.time()
+    proof = prove_r1cs_zk(r1cs, witness, ctx, seed=args.seed, blinding_seed=args.seed)
+    prove_ms = (time.time() - t0) * 1e3
+    ok = verify_r1cs_zk(proof, r1cs.public_inputs(witness), r1cs)
+    print(f"  prove (zk): {prove_ms:.2f} ms, verify -> {'ACCEPT' if ok else 'REJECT'}")
+    return 0 if ok else 1
+
+
+def cmd_healthcare_example(args) -> int:
+    from .circuits.healthcare import (
+        build_healthcare_circuit,
+        high_risk_witness,
+        low_risk_witness,
+    )
+    from .lean import export as lean_export
+
+    q = args.modulus
+    print(f"Healthcare diagnosis circuit (mod {q})")
+    r1cs = build_healthcare_circuit(q)
+    ctx = setup(_default_params(q, n=args.ring_degree))
+    for label, witness in (
+        ("high-risk", high_risk_witness(q)),
+        ("low-risk", low_risk_witness(q)),
+    ):
+        assert r1cs.is_satisfied(witness)
+        proof = prove_r1cs_zk(r1cs, witness, ctx, seed=args.seed, blinding_seed=args.seed)
+        ok = verify_r1cs_zk(proof, r1cs.public_inputs(witness), r1cs)
+        print(f"  {label}: risk={witness[1]}, verify -> {'ACCEPT' if ok else 'REJECT'}")
+        if not ok:
+            return 1
+    # Lean artifacts (reference run_example writes artifacts/r1cs/healthcare.term)
+    out_dir = args.artifacts
+    lean_export.write_artifact(
+        f"{out_dir}/r1cs/healthcare.term", lean_export.vk_to_lean(r1cs)
+    )
+    witness = high_risk_witness(q)
+    q_coeffs = r1cs.compute_quotient_poly(witness)
+    lean_export.write_artifact(
+        f"{out_dir}/r1cs/healthcare_quotient.json",
+        lean_export.quotient_dump_json(
+            r1cs, witness, q_coeffs, description="healthcare high-risk quotient"
+        ),
+    )
+    print(f"  lean artifacts written under {out_dir}/r1cs/")
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    from .circuits.examples import (
+        multiplication_gates_circuit,
+        multiplication_gates_witness,
+    )
+
+    q = args.modulus
+    sizes = [int(s) for s in args.sizes.split(",")]
+    ctx = setup(_default_params(q, n=args.ring_degree))
+    rows = []
+    print(f"{'m':>6} {'build ms':>10} {'prove ms':>10} {'verify ms':>10} {'proof B':>8}")
+    for m in sizes:
+        t0 = time.time()
+        r1cs = multiplication_gates_circuit(m, q)
+        build_ms = (time.time() - t0) * 1e3
+        witness = multiplication_gates_witness(m, q, seed=42)
+        t0 = time.time()
+        if args.zk:
+            proof = prove_r1cs_zk(r1cs, witness, ctx, seed=args.seed,
+                                  blinding_seed=args.seed)
+        else:
+            proof = prove_r1cs(r1cs, witness, ctx, seed=args.seed)
+        prove_ms = (time.time() - t0) * 1e3
+        public = r1cs.public_inputs(witness)
+        t0 = time.time()
+        ok = (verify_r1cs_zk(proof, public, r1cs) if args.zk
+              else verify_r1cs(proof, public, r1cs))
+        verify_ms = (time.time() - t0) * 1e3
+        assert ok
+        size = len(proof.to_bytes())
+        rows.append((m, prove_ms))
+        print(f"{m:>6} {build_ms:>10.2f} {prove_ms:>10.2f} {verify_ms:>10.2f} {size:>8}")
+    if len(rows) >= 2:
+        # empirical scaling exponent (reference main.rs:602-748 analysis)
+        (m0, t0_), (m1, t1_) = rows[0], rows[-1]
+        if t0_ > 0 and m1 > m0:
+            exponent = math.log(t1_ / t0_) / math.log(m1 / m0)
+            print(f"empirical scaling exponent: {exponent:.2f}")
+    return 0
+
+
+def cmd_setup(args) -> int:
+    params = _default_params(args.modulus, n=args.ring_degree, k=args.rank,
+                             sigma=args.sigma)
+    params.validate()
+    if args.strict:
+        params.validate_strict()
+    descriptor = {
+        "profile": "ring_b",
+        "n": args.ring_degree,
+        "k": args.rank,
+        "q": args.modulus,
+        "sigma": args.sigma,
+        "security": 128,
+        "context_seed": args.context_seed,
+    }
+    with open(args.out, "w") as f:
+        json.dump(descriptor, f, indent=2)
+    print(f"context descriptor written to {args.out}")
+    return 0
+
+
+def _ctx_from_descriptor(path: Optional[str], q: int, n: int):
+    if path:
+        with open(path) as f:
+            d = json.load(f)
+        params = _default_params(d["q"], n=d["n"], k=d["k"], sigma=d["sigma"])
+        return setup(params, context_seed=d.get("context_seed", 0))
+    return setup(_default_params(q, n=n))
+
+
+def cmd_prove(args) -> int:
+    r1cs = _load_circuit(args.circuit)
+    witness = _load_witness(args.witness)
+    ctx = _ctx_from_descriptor(args.context, r1cs.modulus, args.ring_degree)
+    t0 = time.time()
+    if args.zk:
+        proof = prove_r1cs_zk(r1cs, witness, ctx, seed=args.seed,
+                              blinding_seed=args.blinding_seed)
+    else:
+        proof = prove_r1cs(r1cs, witness, ctx, seed=args.seed)
+    elapsed = (time.time() - t0) * 1e3
+    data = proof.to_bytes()
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(f"proof written to {args.out} ({len(data)} bytes, {elapsed:.2f} ms)")
+    return 0
+
+
+def cmd_verify(args) -> int:
+    r1cs = _load_circuit(args.circuit)
+    with open(args.proof, "rb") as f:
+        proof = deserialize_any(f.read())
+    public = [int(v) for v in args.public.split(",")]
+    t0 = time.time()
+    if isinstance(proof, ProofR1csZk):
+        ok = verify_r1cs_zk(proof, public, r1cs)
+    elif isinstance(proof, ProofR1CS):
+        ok = verify_r1cs(proof, public, r1cs)
+    else:
+        print("unsupported proof kind for R1CS verification", file=sys.stderr)
+        return 2
+    elapsed = (time.time() - t0) * 1e3
+    print(f"verify: {'ACCEPT' if ok else 'REJECT'} ({elapsed:.2f} ms)")
+    return 0 if ok else 1
+
+
+def cmd_lean_export(args) -> int:
+    from .lean import export as lean_export
+
+    r1cs = _load_circuit(args.circuit)
+    term = lean_export.vk_to_lean(r1cs)
+    if args.out:
+        lean_export.write_artifact(args.out, term)
+        print(f"VK term written to {args.out}")
+    else:
+        print(term)
+    return 0
+
+
+def cmd_validate_params(args) -> int:
+    from .lean.params_io import SecurityParams, validate_params
+
+    params = SecurityParams.from_lean(args.lean)
+    validate_params(params)
+    print(f"params valid: {params.to_lean()}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lambda-snark-tpu",
+        description="TPU-native lattice SNARK prover/verifier",
+    )
+    p.add_argument("--modulus", type=int, default=DEFAULT_MODULUS)
+    p.add_argument("--ring-degree", type=int, default=1024,
+                   help="commitment ring degree n (production: 4096)")
+    p.add_argument("--seed", type=lambda s: int(s, 0), default=0x1234)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("info", help="framework + device info").set_defaults(fn=cmd_info)
+    sub.add_parser("r1cs-example", help="7 x 13 = 91 walkthrough").set_defaults(
+        fn=cmd_r1cs_example
+    )
+
+    rp = sub.add_parser("range-proof-example", help="bit-decomposition range proof")
+    rp.add_argument("--value", type=int, default=42)
+    rp.add_argument("--bits", type=int, default=8)
+    rp.set_defaults(fn=cmd_range_proof_example)
+
+    hc = sub.add_parser("healthcare-example", help="healthcare risk circuit + lean export")
+    hc.add_argument("--artifacts", default="artifacts")
+    hc.set_defaults(fn=cmd_healthcare_example)
+
+    bm = sub.add_parser("benchmark", help="prove/verify scaling table")
+    bm.add_argument("--sizes", default="10,20,30")
+    bm.add_argument("--zk", action="store_true")
+    bm.set_defaults(fn=cmd_benchmark)
+
+    st = sub.add_parser("setup", help="write a context descriptor")
+    st.add_argument("--rank", type=int, default=2)
+    st.add_argument("--sigma", type=float, default=3.19)
+    st.add_argument("--context-seed", type=lambda s: int(s, 0), default=0)
+    st.add_argument("--strict", action="store_true",
+                    help="require a prime modulus (VULN-001 guard)")
+    st.add_argument("--out", default="context.json")
+    st.set_defaults(fn=cmd_setup)
+
+    pv = sub.add_parser("prove", help="prove a circuit file")
+    pv.add_argument("--circuit", required=True)
+    pv.add_argument("--witness", required=True)
+    pv.add_argument("--context")
+    pv.add_argument("--zk", action="store_true")
+    pv.add_argument("--blinding-seed", type=lambda s: int(s, 0), default=None)
+    pv.add_argument("--out", default="proof.bin")
+    pv.set_defaults(fn=cmd_prove)
+
+    vf = sub.add_parser("verify", help="verify a proof file")
+    vf.add_argument("--circuit", required=True)
+    vf.add_argument("--proof", required=True)
+    vf.add_argument("--public", required=True, help="comma-separated public inputs")
+    vf.set_defaults(fn=cmd_verify)
+
+    le = sub.add_parser("lean-export", help="emit the Lean VK term")
+    le.add_argument("--circuit", required=True)
+    le.add_argument("--out")
+    le.set_defaults(fn=cmd_lean_export)
+
+    vp = sub.add_parser("validate-params", help="validate a Lean params record")
+    vp.add_argument("--lean", required=True)
+    vp.set_defaults(fn=cmd_validate_params)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except LambdaSnarkError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -123,7 +123,47 @@ def sub_mod(ctx: ModulusCtx, a, b):
     return jnp.stack(out)
 
 
+_GOLDILOCKS = 18446744069414584321  # 2^64 - 2^32 + 1
+_EPS_DIGITS = (0xFFFF, 0xFFFF, 0, 0)  # 2^32 - 1 = 2^64 mod p
+
+
+def _mul_mod_goldilocks(al: List, bl: List) -> List:
+    """Specialized p = 2^64 - 2^32 + 1 reduction (2^64 = 2^32 - 1, 2^96 = -1).
+
+    Product t0..t7 (base-2^16 digits) folds as
+        value = lo + hi_lo*(2^32 - 1) - hi_hi
+              = lo + [0,0,t4,t5] - [t4,t5,0,0] - [t6,t7,0,0]   (mod p)
+    with each wraparound of the 4-digit accumulator worth +/- eps
+    (eps = 2^32 - 1). Roughly 3x fewer uint32 ops than generic Barrett.
+    """
+    t = _digit_mul(al, bl, out_digits=8)
+    lo = t[0:4]
+    s_add = [_ZERO, _ZERO, t[4], t[5]]
+    d1 = [t[4], t[5], _ZERO, _ZERO]
+    d2 = [t[6], t[7], _ZERO, _ZERO]
+    eps = _const_digits(_EPS_DIGITS)
+    # r = lo + S  (carry => +eps; the +eps re-add cannot carry again because
+    # lo + S < 2^65 so the wrapped value is < 2^64 - 2^33 + eps < 2^64)
+    r, carry = _digit_add(lo, s_add)
+    r_adj, _ = _digit_add(r, eps)
+    r = _select(carry == 1, r_adj, r)
+    # r -= D1 (borrow => -eps; wrapped value >= 2^64 - 2^32 > eps, no chain)
+    r2, borrow = _digit_sub(r, d1)
+    r2_adj, _ = _digit_sub(r2, eps)
+    r = _select(borrow == 1, r2_adj, r2)
+    # r -= D2 (same)
+    r3, borrow = _digit_sub(r, d2)
+    r3_adj, _ = _digit_sub(r3, eps)
+    r = _select(borrow == 1, r3_adj, r3)
+    # canonicalize: r < 2^64 < 2p, one conditional subtract of p suffices
+    q_d = _const_digits((1, 0, 0xFFFF, 0xFFFF))  # p digits
+    r = _cond_sub(r, q_d)
+    return r
+
+
 def _mul_mod_digits(ctx: ModulusCtx, al: List, bl: List) -> List:
+    if ctx.q == _GOLDILOCKS:
+        return _mul_mod_goldilocks(al, bl)
     d = ctx.d
     # full 2D-digit product
     t = _digit_mul(al, bl, out_digits=2 * d)
