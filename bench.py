@@ -60,6 +60,8 @@ def bench_ntt(m_log2: int = 20, batch: int = 1, iters: int = 10):
     from lambda_snark_tpu.ops.limb import modulus_ctx
     from lambda_snark_tpu.ops import ntt_large
 
+    from jax import lax
+
     m = 1 << m_log2
     q = NTT_MODULUS
     omega = field.mod_pow(NTT_PRIMITIVE_ROOT, (1 << 32) // m, q)
@@ -69,26 +71,36 @@ def bench_ntt(m_log2: int = 20, batch: int = 1, iters: int = 10):
     top = ctx.q_digits[-1]
     x = jnp.asarray(_rand_planes(rng, ctx.d, batch, m, top))
 
-    # compile + warmup
+    # Chain `chain` transforms inside ONE jitted call: the sandbox TPU sits
+    # behind a relay with ~30 ms per-dispatch latency, so per-transform time
+    # must be measured on-device, amortizing the dispatch.
+    chain = 32
+
+    @jax.jit
+    def chained(v):
+        return lax.fori_loop(
+            0, chain, lambda _, acc: ntt_large._forward(fsp, acc), v
+        )
+
     t0 = time.time()
-    y = ntt_large.ntt_forward_large(fsp, x)
+    y = chained(x)
     y.block_until_ready()
     compile_s = time.time() - t0
-    for _ in range(2):
-        y = ntt_large.ntt_forward_large(fsp, x)
-        y.block_until_ready()
+    y = chained(x)
+    y.block_until_ready()
 
     t0 = time.time()
     for _ in range(iters):
-        y = ntt_large.ntt_forward_large(fsp, y)
+        y = chained(y)
         y.block_until_ready()
     elapsed = time.time() - t0
-    per_transform = elapsed / (iters * batch)
+    per_transform = elapsed / (iters * chain * batch)
     butterflies = (m // 2) * m_log2
     mb_s = butterflies / per_transform / 1e6
     return {
         "m": m,
         "batch": batch,
+        "chain": chain,
         "compile_s": round(compile_s, 2),
         "per_transform_s": per_transform,
         "mbutterflies_per_s": mb_s,
