@@ -18,11 +18,17 @@ import jax.numpy as jnp
 
 from .limb import BASE_BITS, MASK, ModulusCtx
 
-_MASK = jnp.uint32(MASK)
-_SHIFT = jnp.uint32(BASE_BITS)
-_ONE = jnp.uint32(1)
-_ZERO = jnp.uint32(0)
-_B31 = jnp.uint32(31)
+# Plain Python ints: jnp ops with int operands keep uint32 dtype, and module-
+# level jnp scalars would be captured closure constants, which Pallas kernel
+# bodies reject.
+_MASK = MASK
+_SHIFT = BASE_BITS
+_ONE = 1
+_B31 = 31
+
+
+def _zero():
+    return jnp.uint32(0)
 
 
 def _unstack(x) -> List:
@@ -36,9 +42,9 @@ def _const_digits(digits: Sequence[int]) -> List:
 def _carry_propagate(cols: List, out_digits: int):
     """Columns (each < 2^31) -> normalized 16-bit digits + final carry."""
     digits = []
-    carry = _ZERO
+    carry = _zero()
     for k in range(out_digits):
-        tot = (cols[k] if k < len(cols) else _ZERO) + carry
+        tot = (cols[k] if k < len(cols) else _zero()) + carry
         digits.append(tot & _MASK)
         carry = tot >> _SHIFT
     return digits, carry
@@ -48,7 +54,7 @@ def _digit_add(a: List, b: List):
     """Digit-wise add with carry chain; returns (digits, carry)."""
     n = max(len(a), len(b))
     cols = [
-        (a[i] if i < len(a) else _ZERO) + (b[i] if i < len(b) else _ZERO)
+        (a[i] if i < len(a) else _zero()) + (b[i] if i < len(b) else _zero())
         for i in range(n)
     ]
     return _carry_propagate(cols, n)
@@ -58,10 +64,10 @@ def _digit_sub(a: List, b: List):
     """a - b with borrow chain; returns (digits, borrow) in uint32."""
     n = max(len(a), len(b))
     digits = []
-    borrow = _ZERO
+    borrow = _zero()
     for i in range(n):
-        ai = a[i] if i < len(a) else _ZERO
-        bi = b[i] if i < len(b) else _ZERO
+        ai = a[i] if i < len(a) else _zero()
+        bi = b[i] if i < len(b) else _zero()
         diff = ai - bi - borrow  # wraps mod 2^32; digits < 2^16 so bit 31 flags
         borrow = diff >> _B31
         digits.append(diff & _MASK)
@@ -88,7 +94,7 @@ def _digit_mul(a: List, b: List, out_digits: int | None = None) -> List:
             if k + 1 < ncols + 1:
                 hi = p >> _SHIFT
                 cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
-    cols = [c if c is not None else _ZERO for c in cols[:ncols]]
+    cols = [c if c is not None else _zero() for c in cols[:ncols]]
     digits, _ = _carry_propagate(cols, out_digits)
     return digits
 
@@ -138,9 +144,9 @@ def _mul_mod_goldilocks(al: List, bl: List) -> List:
     """
     t = _digit_mul(al, bl, out_digits=8)
     lo = t[0:4]
-    s_add = [_ZERO, _ZERO, t[4], t[5]]
-    d1 = [t[4], t[5], _ZERO, _ZERO]
-    d2 = [t[6], t[7], _ZERO, _ZERO]
+    s_add = [_zero(), _zero(), t[4], t[5]]
+    d1 = [t[4], t[5], _zero(), _zero()]
+    d2 = [t[6], t[7], _zero(), _zero()]
     eps = _const_digits(_EPS_DIGITS)
     # r = lo + S  (carry => +eps; the +eps re-add cannot carry again because
     # lo + S < 2^65 so the wrapped value is < 2^64 - 2^33 + eps < 2^64)
