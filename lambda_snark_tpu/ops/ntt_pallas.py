@@ -141,8 +141,13 @@ def _run_kernel(pp: PallasNttPlan, x, tw, tile_b: int):
 
 
 def _pick_tile(b: int, s_len: int, d: int) -> int:
-    """Largest power-of-two tile with ~<= 2 MB per buffer."""
-    budget = (2 * 1024 * 1024) // (d * s_len * 4)
+    """Largest power-of-two tile with ~<= 512 KB per buffer.
+
+    The kernel body keeps ~6 live tile-sized arrays (x, p, v, wv, newx plus
+    digit temporaries) in scoped VMEM on top of double-buffered I/O blocks;
+    a 2 MB tile blows the 16 MB scoped-vmem limit (observed on v5e).
+    """
+    budget = (512 * 1024) // (d * s_len * 4)
     tile = 1
     while tile * 2 <= b and tile * 2 <= max(budget, 1) and b % (tile * 2) == 0:
         tile *= 2

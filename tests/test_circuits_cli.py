@@ -200,3 +200,30 @@ def test_cli_setup_descriptor(tmp_path):
     assert rc == 0
     desc = json.loads(out.read_text())
     assert desc["n"] == 64 and desc["q"] == 17592186044423
+
+
+# --- simple circuit gallery -------------------------------------------------
+
+
+def test_simple_circuit_gallery():
+    from lambda_snark_tpu.circuits.simple import ALL_EXAMPLES
+
+    for name, fn in ALL_EXAMPLES.items():
+        r1cs, witness = fn()
+        assert r1cs.is_satisfied(witness), name
+        # one perturbed witness must fail (skip unconstrained private slots)
+        bad = list(witness)
+        bad[-1] = (bad[-1] + 1) % r1cs.modulus
+        assert not r1cs.is_satisfied(bad), name
+
+
+def test_phase2_placeholders():
+    import pytest as _pytest
+
+    from lambda_snark_tpu.proof import checks
+
+    assert not checks.available()
+    with _pytest.raises(checks.NotYetImplementedCheck):
+        checks.lincheck_prove(None, [], 0)
+    with _pytest.raises(checks.NotYetImplementedCheck):
+        checks.mulcheck_prove(None, [], 0)
