@@ -140,6 +140,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.lambda_snark_r1cs_sparse_mv.argtypes = [
         ctypes.c_void_p, ctypes.c_int, u64p, ctypes.c_size_t, u64p,
     ]
+    # lean export
+    lib.export_vk_to_lean.restype = ctypes.c_void_p
+    lib.export_vk_to_lean.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.export_params_to_lean.restype = ctypes.c_void_p
+    lib.export_params_to_lean.argtypes = [ctypes.POINTER(PublicParams)]
+    lib.lambda_snark_string_free.argtypes = [ctypes.c_void_p]
     # gaussian
     lib.sample_gaussian.restype = ctypes.c_int
     lib.sample_gaussian.argtypes = [u64p, ctypes.c_size_t, ctypes.c_double]
@@ -334,6 +340,15 @@ class NativeR1cs:
             raise RuntimeError(f"validate_witness error {rc}")
         return rc == 1
 
+    def vk_to_lean(self, num_public: int) -> str:
+        ptr = self._lib.export_vk_to_lean(self._ctx, num_public)
+        if not ptr:
+            raise RuntimeError("export_vk_to_lean failed")
+        try:
+            return ctypes.string_at(ptr).decode("utf-8")
+        finally:
+            self._lib.lambda_snark_string_free(ptr)
+
     def sparse_mv(self, which: int, vec) -> List[int]:
         v = _as_u64_array(vec)
         out = np.zeros(self.m, dtype=np.uint64)
@@ -350,6 +365,20 @@ class NativeR1cs:
                 self._lib.lambda_snark_r1cs_free(self._ctx)
         except Exception:
             pass
+
+
+def params_to_lean(n: int, k: int, q: int, sigma: float, lam: int = 128) -> str:
+    lib = _load()
+    assert lib is not None
+    params = PublicParams(profile=1, security=lam, modulus=q, ring_degree=n,
+                          module_rank=k, sigma=sigma, context_seed=0)
+    ptr = lib.export_params_to_lean(ctypes.byref(params))
+    if not ptr:
+        raise RuntimeError("export_params_to_lean failed")
+    try:
+        return ctypes.string_at(ptr).decode("utf-8")
+    finally:
+        lib.lambda_snark_string_free(ptr)
 
 
 def gaussian_cdt_table(sigma: float) -> np.ndarray:

@@ -114,3 +114,79 @@ int lambda_snark_r1cs_sparse_mv(const LambdaSnarkR1cs* r1cs, int which,
 }
 
 }  // extern "C"
+
+// --- Lean export (declared in lambda_snark/lean_export.h) -------------------
+// Emits the exact term shapes of the Python layer (lean/export.py) and the
+// reference lean_ffi.cpp: SparseMatrix.mk terms in row-major order with
+// duplicate entries accumulated mod q and values signed-reduced.
+
+#include <algorithm>
+#include <cstring>
+#include <map>
+#include <sstream>
+#include <string>
+
+#include "lambda_snark/lean_export.h"
+
+namespace {
+
+std::string matrix_term(const std::vector<SparseEntry>& entries, uint32_t m,
+                        uint32_t n, uint64_t q) {
+  std::map<std::pair<uint32_t, uint32_t>, uint64_t> acc;
+  for (const SparseEntry& e : entries) {
+    uint64_t v = signed_reduce(e.value, q);
+    auto key = std::make_pair(e.row, e.col);
+    auto it = acc.find(key);
+    if (it == acc.end()) {
+      if (v) acc[key] = v;
+    } else {
+      it->second = add_mod(it->second, v, q);
+      if (it->second == 0) acc.erase(it);
+    }
+  }
+  std::ostringstream os;
+  os << "SparseMatrix.mk " << m << " " << n << " [";
+  bool first = true;
+  for (const auto& kv : acc) {
+    if (!first) os << ", ";
+    os << "(" << kv.first.first << ", " << kv.first.second << ", "
+       << kv.second << ")";
+    first = false;
+  }
+  os << "]";
+  return os.str();
+}
+
+char* dup_string(const std::string& s) {
+  char* out = static_cast<char*>(std::malloc(s.size() + 1));
+  if (out) std::memcpy(out, s.c_str(), s.size() + 1);
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+char* export_vk_to_lean(const LambdaSnarkR1cs* r1cs, uint32_t num_public) {
+  if (!r1cs) return nullptr;
+  std::ostringstream os;
+  os << "⟨" << r1cs->m << ", " << r1cs->n << ", " << num_public << ", "
+     << r1cs->q << ",\n  "
+     << matrix_term(r1cs->a, r1cs->m, r1cs->n, r1cs->q) << ",\n  "
+     << matrix_term(r1cs->b, r1cs->m, r1cs->n, r1cs->q) << ",\n  "
+     << matrix_term(r1cs->c, r1cs->m, r1cs->n, r1cs->q) << "⟩";
+  return dup_string(os.str());
+}
+
+char* export_params_to_lean(const PublicParams* params) {
+  if (!params) return nullptr;
+  std::ostringstream os;
+  os << "{ n := " << params->ring_degree << ", k := " << params->module_rank
+     << ", q := " << params->modulus << ", σ := " << params->sigma
+     << ", λ := " << params->security << " }";
+  return dup_string(os.str());
+}
+
+void lambda_snark_string_free(char* s) { std::free(s); }
+
+}  // extern "C"

@@ -159,3 +159,18 @@ def test_native_r1cs_signed_values():
     nat = nb.NativeR1cs(1, 3, q, a, b, c)
     assert nat.validate_witness([1, 5, 5])
     assert not nat.validate_witness([1, 5, 4])
+
+
+def test_native_lean_export_matches_python():
+    from lambda_snark_tpu.circuits.healthcare import build_healthcare_circuit
+    from lambda_snark_tpu.lean import export as lean_export
+    from lambda_snark_tpu.lean.params_io import SecurityParams
+
+    r1cs = build_healthcare_circuit(TV_Q)
+    nat = nb.NativeR1cs(
+        r1cs.m, r1cs.n, r1cs.modulus, r1cs.a.coo(), r1cs.b.coo(), r1cs.c.coo()
+    )
+    assert nat.vk_to_lean(r1cs.l) == lean_export.vk_to_lean(r1cs)
+    rec = nb.params_to_lean(4096, 2, TV_Q, 3.19, 128)
+    parsed = SecurityParams.from_lean(rec)
+    assert (parsed.n, parsed.k, parsed.q, parsed.lam) == (4096, 2, TV_Q, 128)
