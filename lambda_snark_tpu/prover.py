@@ -104,7 +104,17 @@ def prove_r1cs(
     witness: Sequence[int],
     ctx: lwe.LweContext,
     seed: int,
+    with_opening: bool = False,
 ) -> ProofR1CS:
+    """Two-challenge R1CS proof.
+
+    ``with_opening=True`` attaches real commitment openings with witness
+    ``[seed || Q coefficients]`` (the reference's opening witness shape,
+    ``opening.rs:104-115``) enabling full LWE-binding verification via
+    ``verifier.verify_r1cs_with_context`` — the check the reference left
+    as ignored tests ("LWE binding not yet real", SURVEY section 4.1).
+    Non-ZK only: the opening reveals Q.
+    """
     q = r1cs.modulus
     # 1. quotient polynomial (validates the witness)
     q_coeffs = r1cs.compute_quotient_poly(witness)
@@ -120,6 +130,7 @@ def prove_r1cs(
     # 6-7. evaluations at alpha and beta
     q_alpha = r1cs.eval_poly(q_coeffs, alpha)
     q_beta = r1cs.eval_poly(q_coeffs, beta)
+    opening_witness = [seed] + list(q_coeffs) if with_opening else []
     return ProofR1CS(
         commitment_q=commitment_q,
         challenge_alpha=ch_alpha,
@@ -132,8 +143,8 @@ def prove_r1cs(
         a_z_beta=r1cs.eval_poly(a_poly, beta),
         b_z_beta=r1cs.eval_poly(b_poly, beta),
         c_z_beta=r1cs.eval_poly(c_poly, beta),
-        opening_alpha=EvalOpening(evaluation=q_alpha),
-        opening_beta=EvalOpening(evaluation=q_beta),
+        opening_alpha=EvalOpening(evaluation=q_alpha, witness=opening_witness),
+        opening_beta=EvalOpening(evaluation=q_beta, witness=opening_witness),
         modulus=q,
     )
 

@@ -79,6 +79,40 @@ def verify_r1cs(proof: ProofR1CS, public_inputs: Sequence[int], r1cs: R1CS) -> b
     return True
 
 
+def verify_r1cs_with_context(
+    proof: ProofR1CS, public_inputs: Sequence[int], r1cs: R1CS, ctx
+) -> bool:
+    """Full verification including real LWE commitment binding.
+
+    Beyond ``verify_r1cs``: the opening witness ``[seed || Q coefficients]``
+    must (a) recommit to exactly the proof's commitment words and (b)
+    evaluate to the claimed Q(alpha)/Q(beta). This is the working analog of
+    the reference's ``verify_opening_with_context`` (``opening.rs:160-222``),
+    whose binding leg was stubbed behind ignored tests.
+    """
+    from .commit import lwe as lwe_mod
+
+    if not verify_r1cs(proof, public_inputs, r1cs):
+        return False
+    q = r1cs.modulus
+    for opening in (proof.opening_alpha, proof.opening_beta):
+        if len(opening.witness) < 2:
+            return False  # binding verification demands a real opening
+    witness_words = proof.opening_alpha.witness
+    seed = witness_words[0]
+    message = [c % q for c in witness_words[1:]]
+    recommit, _op = lwe_mod.commit(ctx, message, seed)
+    if recommit != proof.commitment_q:
+        return False
+    alpha = proof.challenge_alpha.alpha
+    beta = proof.challenge_beta.alpha
+    if field.horner_eval(message, alpha, q) != proof.q_alpha:
+        return False
+    if field.horner_eval(message, beta, q) != proof.q_beta:
+        return False
+    return True
+
+
 def verify_r1cs_zk(proof: ProofR1csZk, public_inputs: Sequence[int], r1cs: R1CS) -> bool:
     q = r1cs.modulus
     comm_words = proof.commitment_q_prime.as_words()
