@@ -40,6 +40,11 @@ from .core.params import (
 )
 from .commit.lwe import Commitment, LweContext, commit, linear_combine, verify_opening
 from .proof.polynomial import Polynomial
+from .proof.compact import (
+    CompactProofR1CS,
+    prove_r1cs_compact,
+    verify_r1cs_compact,
+)
 from .proof.types import EvalOpening, Proof, ProofR1CS, ProofR1csZk, deserialize_any
 from .prover import (
     prove_r1cs,
@@ -60,6 +65,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Challenge",
+    "CompactProofR1CS",
     "CircuitBuilder",
     "Commitment",
     "CommitmentError",
@@ -94,6 +100,7 @@ __all__ = [
     "deserialize_any",
     "linear_combine",
     "prove_r1cs",
+    "prove_r1cs_compact",
     "prove_r1cs_zk",
     "prove_simple",
     "prove_zk",
@@ -101,6 +108,7 @@ __all__ = [
     "simulate_proof",
     "verify_opening",
     "verify_r1cs",
+    "verify_r1cs_compact",
     "verify_r1cs_zk",
     "verify_simple",
 ]

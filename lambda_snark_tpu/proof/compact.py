@@ -1,0 +1,197 @@
+"""Compact proofs: digest-bound transcript (v2), <= 250 bytes.
+
+The reference's spec demands proofs <= 250 bytes (``specification.sdoc:
+336-381``) and its docs count the commitment as 32 bytes, but its actual
+``ProofR1CS`` embeds the full SEAL ciphertext blob (kilobytes). This module
+delivers the spec honestly: the Fiat-Shamir transcript binds the SHA3-256
+*digest* of the commitment words
+
+    alpha = H(public || digest_words)      beta = H([alpha] || digest_words)
+
+(same byte layout as transcript v1, with the commitment words replaced by
+the four LE u64 words of the digest), and the proof carries only the digest.
+Binding is unchanged up to SHA3 collision resistance; the full commitment
+can be published separately and checked against the digest when commitment-
+level opening audits are needed.
+
+Wire format: 9 B header + 8 B modulus + 32 B digest + 2 x 40 B challenges +
+64 B evaluations (+ 8 B blinding for ZK) = 193/201 bytes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import List, Optional, Sequence
+
+from ..commit import lwe
+from ..core import field
+from ..core.errors import SerializationError
+from ..r1cs.r1cs import R1CS
+from ..transcript.challenge import Challenge
+from .types import _MAGIC, _Reader
+
+_KIND_COMPACT = 4
+_KIND_COMPACT_ZK = 5
+
+
+def digest_words(digest: bytes) -> List[int]:
+    """32-byte digest -> 4 LE u64 transcript words."""
+    return [int.from_bytes(digest[i : i + 8], "little") for i in range(0, 32, 8)]
+
+
+def derive_dual_digest(public_inputs, digest: bytes, modulus: int):
+    words = digest_words(digest)
+    ch_a = Challenge.derive(public_inputs, words, modulus)
+    ch_b = Challenge.derive([ch_a.alpha], words, modulus)
+    return ch_a, ch_b
+
+
+@dataclasses.dataclass(frozen=True)
+class CompactProofR1CS:
+    """Digest-bound two-challenge R1CS proof (<= 250 bytes serialized)."""
+
+    commitment_digest: bytes  # 32 bytes
+    challenge_alpha: Challenge
+    challenge_beta: Challenge
+    q_alpha: int
+    q_beta: int
+    a_z_alpha: int
+    b_z_alpha: int
+    c_z_alpha: int
+    a_z_beta: int
+    b_z_beta: int
+    c_z_beta: int
+    modulus: int
+    blinding_factor: Optional[int] = None  # set for the ZK variant
+
+    @property
+    def is_zk(self) -> bool:
+        return self.blinding_factor is not None
+
+    def _evals(self):
+        return (
+            self.q_alpha, self.q_beta, self.a_z_alpha, self.b_z_alpha,
+            self.c_z_alpha, self.a_z_beta, self.b_z_beta, self.c_z_beta,
+        )
+
+    def to_bytes(self) -> bytes:
+        kind = _KIND_COMPACT_ZK if self.is_zk else _KIND_COMPACT
+        body = struct.pack("<Q", self.modulus)
+        body += self.commitment_digest
+        body += self.challenge_alpha.to_bytes() + self.challenge_beta.to_bytes()
+        body += struct.pack("<8Q", *self._evals())
+        if self.is_zk:
+            body += struct.pack("<Q", self.blinding_factor)
+        return _MAGIC + bytes([kind]) + body
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "CompactProofR1CS":
+        r = _Reader(data)
+        if r.bytes_(8) != _MAGIC:
+            raise SerializationError("bad proof magic")
+        kind = r.u8()
+        if kind not in (_KIND_COMPACT, _KIND_COMPACT_ZK):
+            raise SerializationError(f"unexpected proof kind {kind}")
+        modulus = r.u64()
+        digest = r.bytes_(32)
+        ch_a = Challenge.from_bytes(r.bytes_(40))
+        ch_b = Challenge.from_bytes(r.bytes_(40))
+        evals = struct.unpack_from("<8Q", r.data, r.off)
+        r.off += 64
+        blinding = r.u64() if kind == _KIND_COMPACT_ZK else None
+        return CompactProofR1CS(
+            commitment_digest=digest,
+            challenge_alpha=ch_a,
+            challenge_beta=ch_b,
+            q_alpha=evals[0], q_beta=evals[1],
+            a_z_alpha=evals[2], b_z_alpha=evals[3], c_z_alpha=evals[4],
+            a_z_beta=evals[5], b_z_beta=evals[6], c_z_beta=evals[7],
+            modulus=modulus,
+            blinding_factor=blinding,
+        )
+
+
+def prove_r1cs_compact(
+    r1cs: R1CS,
+    witness: Sequence[int],
+    ctx: lwe.LweContext,
+    seed: int,
+    blinding_seed: Optional[int] = None,
+    zk: bool = False,
+) -> CompactProofR1CS:
+    """Compact prover (plain or ZK): same math as prove_r1cs(_zk), digest
+    transcript, 193/201-byte proofs."""
+    from ..r1cs import poly as polyops
+    from ..utils.chacha import ChaCha20Rng
+
+    q = r1cs.modulus
+    q_coeffs = r1cs.compute_quotient_poly(witness)
+    blinding_factor = None
+    committed = q_coeffs
+    if zk:
+        if blinding_seed is not None:
+            rng = ChaCha20Rng.from_u64(blinding_seed)
+        else:
+            import secrets
+
+            rng = ChaCha20Rng(secrets.token_bytes(32))
+        blinding_factor = rng.next_u64() % q
+        z_h = r1cs.domain.vanishing_poly()
+        committed = polyops.poly_add(
+            q_coeffs, polyops.poly_mul_scalar(z_h, blinding_factor, q), q
+        )
+    commitment, _op = lwe.commit(ctx, committed, seed)
+    digest = commitment.digest()
+    public_inputs = r1cs.public_inputs(witness)
+    ch_a, ch_b = derive_dual_digest(public_inputs, digest, q)
+    alpha, beta = ch_a.alpha, ch_b.alpha
+    a_poly, b_poly, c_poly = r1cs.interpolations(witness)
+    return CompactProofR1CS(
+        commitment_digest=digest,
+        challenge_alpha=ch_a,
+        challenge_beta=ch_b,
+        q_alpha=r1cs.eval_poly(committed, alpha),
+        q_beta=r1cs.eval_poly(committed, beta),
+        a_z_alpha=r1cs.eval_poly(a_poly, alpha),
+        b_z_alpha=r1cs.eval_poly(b_poly, alpha),
+        c_z_alpha=r1cs.eval_poly(c_poly, alpha),
+        a_z_beta=r1cs.eval_poly(a_poly, beta),
+        b_z_beta=r1cs.eval_poly(b_poly, beta),
+        c_z_beta=r1cs.eval_poly(c_poly, beta),
+        modulus=q,
+        blinding_factor=blinding_factor,
+    )
+
+
+def verify_r1cs_compact(
+    proof: CompactProofR1CS, public_inputs: Sequence[int], r1cs: R1CS
+) -> bool:
+    q = r1cs.modulus
+    ch_a, ch_b = derive_dual_digest(public_inputs, proof.commitment_digest, q)
+    if proof.challenge_alpha.alpha != ch_a.alpha:
+        return False
+    if proof.challenge_beta.alpha != ch_b.alpha:
+        return False
+    alpha, beta = ch_a.alpha, ch_b.alpha
+    zh_alpha = r1cs.eval_vanishing(alpha)
+    zh_beta = r1cs.eval_vanishing(beta)
+    q_alpha, q_beta = proof.q_alpha, proof.q_beta
+    if proof.is_zk:
+        q_alpha = field.sub_mod(
+            q_alpha, field.mul_mod(proof.blinding_factor, zh_alpha, q), q
+        )
+        q_beta = field.sub_mod(
+            q_beta, field.mul_mod(proof.blinding_factor, zh_beta, q), q
+        )
+    lhs_a = field.mul_mod(q_alpha, zh_alpha, q)
+    rhs_a = field.sub_mod(
+        field.mul_mod(proof.a_z_alpha, proof.b_z_alpha, q), proof.c_z_alpha, q
+    )
+    if lhs_a != rhs_a:
+        return False
+    lhs_b = field.mul_mod(q_beta, zh_beta, q)
+    rhs_b = field.sub_mod(
+        field.mul_mod(proof.a_z_beta, proof.b_z_beta, q), proof.c_z_beta, q
+    )
+    return lhs_b == rhs_b

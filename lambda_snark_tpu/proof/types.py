@@ -275,4 +275,8 @@ def deserialize_any(data: bytes):
         return ProofR1CS.from_bytes(data)
     if kind == _KIND_R1CS_ZK:
         return ProofR1csZk.from_bytes(data)
+    if kind in (4, 5):  # compact kinds (proof.compact)
+        from .compact import CompactProofR1CS
+
+        return CompactProofR1CS.from_bytes(data)
     raise SerializationError(f"unknown proof kind {kind}")
