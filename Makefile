@@ -1,0 +1,38 @@
+# Developer entry points (parity with the reference's Makefile targets,
+# adapted: test / native / bench / dudect / docs / lint).
+
+PY ?= python3
+
+.PHONY: test test-fast native bench dudect docs lint clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x -k "not sharded and not pipeline and not large"
+
+native:
+	cmake -S native -B native/build -G Ninja
+	ninja -C native/build
+
+native-asan:
+	cmake -S native -B native/build-asan -G Ninja -DLAMBDA_SNARK_USE_ASAN=ON
+	ninja -C native/build-asan
+
+bench:
+	$(PY) bench.py
+
+dudect:
+	$(PY) -c "from lambda_snark_tpu.utils.dudect import *; \
+print(mod_pow_timing_report(17592186044423)); \
+print(gaussian_timing_report())"
+
+docs:
+	mkdocs build 2>/dev/null || echo "mkdocs not installed; docs/ is readable as markdown"
+
+lint:
+	$(PY) -m ruff check lambda_snark_tpu tests --select E9,F63,F7,F82 2>/dev/null \
+		|| $(PY) -m py_compile $$(git ls-files '*.py')
+
+clean:
+	rm -rf native/build native/build-asan .jax_compile_cache artifacts

@@ -260,7 +260,14 @@ def cmd_prove(args) -> int:
     witness = _load_witness(args.witness)
     ctx = _ctx_from_descriptor(args.context, r1cs.modulus, args.ring_degree)
     t0 = time.time()
-    if args.zk:
+    if args.compact:
+        from .proof.compact import prove_r1cs_compact
+
+        proof = prove_r1cs_compact(
+            r1cs, witness, ctx, seed=args.seed,
+            blinding_seed=args.blinding_seed, zk=args.zk,
+        )
+    elif args.zk:
         proof = prove_r1cs_zk(r1cs, witness, ctx, seed=args.seed,
                               blinding_seed=args.blinding_seed)
     else:
@@ -279,7 +286,11 @@ def cmd_verify(args) -> int:
         proof = deserialize_any(f.read())
     public = [int(v) for v in args.public.split(",")]
     t0 = time.time()
-    if isinstance(proof, ProofR1csZk):
+    from .proof.compact import CompactProofR1CS, verify_r1cs_compact
+
+    if isinstance(proof, CompactProofR1CS):
+        ok = verify_r1cs_compact(proof, public, r1cs)
+    elif isinstance(proof, ProofR1csZk):
         ok = verify_r1cs_zk(proof, public, r1cs)
     elif isinstance(proof, ProofR1CS):
         ok = verify_r1cs(proof, public, r1cs)
@@ -301,6 +312,15 @@ def cmd_lean_export(args) -> int:
         print(f"VK term written to {args.out}")
     else:
         print(term)
+    return 0
+
+
+def cmd_dudect(args) -> int:
+    from .utils.dudect import gaussian_timing_report, mod_pow_timing_report
+
+    p1 = mod_pow_timing_report(args.modulus, samples=args.samples, out_dir=args.out)
+    p2 = gaussian_timing_report(samples=max(args.samples // 2, 200), out_dir=args.out)
+    print(f"reports written: {p1}, {p2}")
     return 0
 
 
@@ -357,6 +377,8 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--witness", required=True)
     pv.add_argument("--context")
     pv.add_argument("--zk", action="store_true")
+    pv.add_argument("--compact", action="store_true",
+                    help="193/201-byte digest-bound proof")
     pv.add_argument("--blinding-seed", type=lambda s: int(s, 0), default=None)
     pv.add_argument("--out", default="proof.bin")
     pv.set_defaults(fn=cmd_prove)
@@ -371,6 +393,11 @@ def build_parser() -> argparse.ArgumentParser:
     le.add_argument("--circuit", required=True)
     le.add_argument("--out")
     le.set_defaults(fn=cmd_lean_export)
+
+    dd = sub.add_parser("dudect", help="regenerate constant-time timing reports")
+    dd.add_argument("--out", default="artifacts/dudect")
+    dd.add_argument("--samples", type=int, default=3000)
+    dd.set_defaults(fn=cmd_dudect)
 
     vp = sub.add_parser("validate-params", help="validate a Lean params record")
     vp.add_argument("--lean", required=True)
