@@ -132,8 +132,9 @@ def _field_planes_to_ring(pp: ProvePlan, planes):
     if dp > dq:
         pad = jnp.zeros((dp - dq,) + planes.shape[1:], dtype=jnp.uint32)
         out = jnp.concatenate([out, pad], axis=0)
-    if pp.dctx.n > pp.m:
-        padn = jnp.zeros((dp, b, pp.dctx.n - pp.m), dtype=jnp.uint32)
+    length = out.shape[-1]
+    if pp.dctx.n > length:
+        padn = jnp.zeros((dp, b, pp.dctx.n - length), dtype=jnp.uint32)
         out = jnp.concatenate([out, padn], axis=-1)
     return out
 
@@ -150,6 +151,30 @@ def prove_stage_batch(pp: ProvePlan, a_evals, b_evals, c_evals, key):
     msg_planes = _field_planes_to_ring(pp, q_coeffs)
     c_planes, _s, _e = commit_batch(pp.dctx, msg_planes, key)
     return q_coeffs, a_poly, b_poly, c_poly, c_planes, valid
+
+
+def prove_stage_batch_zk(pp: ProvePlan, a_evals, b_evals, c_evals, blind_planes, key):
+    """ZK device stage: commit to Q' = Q + r * Z_H (roots domain Z_H = X^m - 1).
+
+    blind_planes: (D, B) per-proof blinding factors r (mod q). Q' has degree
+    m, so the ring degree must satisfy n >= m + 1. Returns the same tuple as
+    ``prove_stage_batch`` with the commitment over Q'.
+    """
+    assert pp.dctx.n >= pp.m + 1, "ZK blinding needs ring degree n >= m + 1"
+    ctx = pp.plan.ctx
+    q_coeffs, a_poly, b_poly, c_poly, valid = quotient_batch(
+        pp, a_evals, b_evals, c_evals
+    )
+    r = blind_planes[..., None]  # (D, B, 1)
+    # Q'(X) = Q(X) - r + r X^m   (Z_H = X^m - 1)
+    q0 = modarith.sub_mod(ctx, q_coeffs[..., :1], r)
+    q_blinded = jnp.concatenate([q0, q_coeffs[..., 1:], r], axis=-1)  # m+1
+    msg_planes = _field_planes_to_ring(pp, q_blinded)
+    c_planes, _s, _e = commit_batch(pp.dctx, msg_planes, key)
+    return q_coeffs, a_poly, b_poly, c_poly, c_planes, valid
+
+
+prove_stage_batch_zk_jit = jax.jit(prove_stage_batch_zk, static_argnums=(0,))
 
 
 prove_stage_batch_jit = jax.jit(prove_stage_batch, static_argnums=(0,))

@@ -14,7 +14,7 @@ seed), like everything else in this framework.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,11 +24,12 @@ from .commit.lwe import Commitment, LweContext
 from .commit.lwe_jax import DeviceCommitContext
 from .core import field
 from .core.errors import DomainError, InvalidWitnessError
-from .pipeline import ProvePlan, prove_stage_batch_jit
-from .proof.types import EvalOpening, ProofR1CS
+from .pipeline import ProvePlan, prove_stage_batch_jit, prove_stage_batch_zk_jit
+from .proof.types import EvalOpening, ProofR1CS, ProofR1csZk
 from .r1cs.r1cs import R1CS
 from .ops.limb import from_limbs, from_limbs_u64, modulus_ctx, to_limbs
 from .transcript.challenge import derive_dual
+from .utils.chacha import ChaCha20Rng
 
 _PLAN_CACHE: dict = {}
 _DCTX_CACHE: dict = {}
@@ -50,14 +51,24 @@ def prove_r1cs_batched(
     witnesses: Sequence[Sequence[int]],
     ctx: LweContext,
     seed: int,
-) -> List[ProofR1CS]:
+    zk: bool = False,
+    blinding_seed: Optional[int] = None,
+):
+    """Batched proving (plain or ZK). ZK blinds the committed quotient on
+    device (Q' = Q + r * Z_H; needs ring degree n >= m + 1) with per-proof
+    blinding factors derived from ``blinding_seed`` (defaults to ``seed``).
+    Returns List[ProofR1CS] or List[ProofR1csZk].
+    """
     if r1cs.domain.kind != "roots":
         raise DomainError(
             "batched device proving requires a roots (NTT) domain; "
             f"got {r1cs.domain.kind} for q={r1cs.modulus}, m={r1cs.m}"
         )
-    if r1cs.m > ctx.n:
-        raise DomainError(f"quotient length m={r1cs.m} exceeds ring degree {ctx.n}")
+    if r1cs.m > ctx.n or (zk and r1cs.m + 1 > ctx.n):
+        raise DomainError(
+            f"quotient length (m={r1cs.m}{'+1 for ZK' if zk else ''}) "
+            f"exceeds ring degree {ctx.n}"
+        )
     q = r1cs.modulus
     b = len(witnesses)
     pp = _prove_plan(r1cs, ctx)
@@ -76,9 +87,22 @@ def prove_r1cs_batched(
 
     a_e, b_e, c_e = stack(0), stack(1), stack(2)
     key = jax.random.PRNGKey(seed & 0x7FFFFFFF)
-    q_pl, a_pl, b_pl, c_pl, comm_pl, valid = prove_stage_batch_jit(
-        pp, a_e, b_e, c_e, key
-    )
+    blinding = None
+    if zk:
+        rng = ChaCha20Rng.from_u64(
+            blinding_seed if blinding_seed is not None else seed
+        )
+        blinding = [rng.next_u64() % q for _ in range(b)]
+        blind_planes = jnp.asarray(
+            to_limbs(np.array(blinding, dtype=object), d)
+        )
+        q_pl, a_pl, b_pl, c_pl, comm_pl, valid = prove_stage_batch_zk_jit(
+            pp, a_e, b_e, c_e, blind_planes, key
+        )
+    else:
+        q_pl, a_pl, b_pl, c_pl, comm_pl, valid = prove_stage_batch_jit(
+            pp, a_e, b_e, c_e, key
+        )
     valid = np.asarray(valid)
     if not valid.all():
         bad = [i for i, v in enumerate(valid) if not v]
@@ -103,22 +127,46 @@ def prove_r1cs_batched(
         cc = [int(v) for v in c_host[i]]
         q_alpha = field.horner_eval(qc, alpha, q)
         q_beta = field.horner_eval(qc, beta, q)
-        proofs.append(
-            ProofR1CS(
-                commitment_q=commitment,
-                challenge_alpha=ch_a,
-                challenge_beta=ch_b,
-                q_alpha=q_alpha,
-                q_beta=q_beta,
-                a_z_alpha=field.horner_eval(ac, alpha, q),
-                b_z_alpha=field.horner_eval(bc, alpha, q),
-                c_z_alpha=field.horner_eval(cc, alpha, q),
-                a_z_beta=field.horner_eval(ac, beta, q),
-                b_z_beta=field.horner_eval(bc, beta, q),
-                c_z_beta=field.horner_eval(cc, beta, q),
-                opening_alpha=EvalOpening(evaluation=q_alpha),
-                opening_beta=EvalOpening(evaluation=q_beta),
-                modulus=q,
-            )
+        common = dict(
+            challenge_alpha=ch_a,
+            challenge_beta=ch_b,
+            a_z_alpha=field.horner_eval(ac, alpha, q),
+            b_z_alpha=field.horner_eval(bc, alpha, q),
+            c_z_alpha=field.horner_eval(cc, alpha, q),
+            a_z_beta=field.horner_eval(ac, beta, q),
+            b_z_beta=field.horner_eval(bc, beta, q),
+            c_z_beta=field.horner_eval(cc, beta, q),
+            modulus=q,
         )
+        if zk:
+            r = blinding[i]
+            # Q'(x) = Q(x) + r * Z_H(x); the device committed to Q'
+            qp_alpha = field.add_mod(
+                q_alpha, field.mul_mod(r, r1cs.eval_vanishing(alpha), q), q
+            )
+            qp_beta = field.add_mod(
+                q_beta, field.mul_mod(r, r1cs.eval_vanishing(beta), q), q
+            )
+            proofs.append(
+                ProofR1csZk(
+                    commitment_q_prime=commitment,
+                    blinding_factor=r,
+                    q_prime_alpha=qp_alpha,
+                    q_prime_beta=qp_beta,
+                    opening_alpha=EvalOpening(evaluation=qp_alpha),
+                    opening_beta=EvalOpening(evaluation=qp_beta),
+                    **common,
+                )
+            )
+        else:
+            proofs.append(
+                ProofR1CS(
+                    commitment_q=commitment,
+                    q_alpha=q_alpha,
+                    q_beta=q_beta,
+                    opening_alpha=EvalOpening(evaluation=q_alpha),
+                    opening_beta=EvalOpening(evaluation=q_beta),
+                    **common,
+                )
+            )
     return proofs

@@ -126,3 +126,29 @@ def test_prove_r1cs_batched_rejects_invalid(ctx):
     bad[1] = (bad[1] + 1) % Q
     with pytest.raises(InvalidWitnessError):
         prove_r1cs_batched(r1cs, [good, bad], ctx, seed=1)
+
+
+def test_prove_r1cs_batched_zk(ctx):
+    from lambda_snark_tpu import ProofR1csZk, verify_r1cs_zk
+
+    m = 8
+    r1cs = multiplication_gates(m, Q)
+    witnesses = [mult_witness(m, Q, seed=s) for s in range(3)]
+    proofs = prove_r1cs_batched(r1cs, witnesses, ctx, seed=11, zk=True,
+                                blinding_seed=13)
+    for w, p in zip(witnesses, proofs):
+        assert isinstance(p, ProofR1csZk)
+        assert verify_r1cs_zk(p, r1cs.public_inputs(w), r1cs)
+    # distinct blinding per proof in the batch
+    assert len({p.blinding_factor for p in proofs}) == 3
+    # deterministic
+    proofs2 = prove_r1cs_batched(r1cs, witnesses, ctx, seed=11, zk=True,
+                                 blinding_seed=13)
+    assert proofs[0].to_bytes() == proofs2[0].to_bytes()
+    # ZK batched requires n >= m+1
+    import pytest as _pytest
+    from lambda_snark_tpu.core.errors import DomainError
+    r64 = multiplication_gates(64, Q)  # == ring degree n=64
+    w64 = [mult_witness(64, Q, seed=1)]
+    with _pytest.raises(DomainError):
+        prove_r1cs_batched(r64, w64, ctx, seed=1, zk=True)
