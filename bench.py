@@ -228,10 +228,39 @@ def bench_proofs_per_sec():
         return (mixed, a_pl, b_pl)
 
     per_batch = measure_marginal(step, (a_e, b_e, c_e), k_large=17, iters=5)
-    return {
+    out = {
         "prove_stage_m1024_n1024_batch32_s": per_batch,
         "device_proofs_per_sec": batch / per_batch,
     }
+    # production shape: m = 4096 circuits, n = 4096 ring (the tv profile)
+    try:
+        m2, n2, b2 = 4096, 4096, 16
+        params2 = Params(
+            SecurityLevel.BITS128, Profile.ring_b(n=n2, k=2, q=q, sigma=3.19)
+        )
+        ctx2 = LweContext(params2, context_seed=1)
+        pp2 = ProvePlan.create(m2, q, DeviceCommitContext.from_host(ctx2))
+
+        def planes2():
+            pl_ = rng.integers(0, 1 << 16, size=(3, b2, m2), dtype=np.uint32)
+            pl_[2] %= ctxq.q_digits[-1]
+            return jnp.asarray(pl_)
+
+        a2, b2_ = planes2(), planes2()
+        c2 = jax.jit(lambda a, b: modarith.mul_mod(ctxq, a, b))(a2, b2_)
+
+        def step2(carry):
+            a, b, c = carry
+            q_pl, a_pl, b_pl, _c, comm, _v = prove_stage_batch(pp2, a, b, c, key)
+            mixed = modarith.add_mod(ctxq, q_pl, comm[:3, :, :m2])
+            return (mixed, a_pl, b_pl)
+
+        per2 = measure_marginal(step2, (a2, b2_, c2), k_large=9, iters=4)
+        out["prove_stage_m4096_n4096_batch16_s"] = per2
+        out["device_proofs_per_sec_production"] = b2 / per2
+    except Exception as e:  # noqa: BLE001
+        out["production_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 def main():

@@ -194,6 +194,28 @@ def cmd_benchmark(args) -> int:
     sizes = [int(s) for s in args.sizes.split(",")]
     ctx = setup(_default_params(q, n=args.ring_degree))
     rows = []
+    if args.compare_zk:
+        print(f"{'m':>6} {'plain ms':>10} {'zk ms':>10} {'overhead':>9}")
+        from .circuits.examples import (
+            multiplication_gates_circuit as _mgc,
+            multiplication_gates_witness as _mgw,
+        )
+        for m in sizes:
+            r1cs = _mgc(m, q)
+            witness = _mgw(m, q, seed=42)
+            t0 = time.time()
+            p1 = prove_r1cs(r1cs, witness, ctx, seed=args.seed)
+            plain_ms = (time.time() - t0) * 1e3
+            t0 = time.time()
+            p2 = prove_r1cs_zk(r1cs, witness, ctx, seed=args.seed,
+                               blinding_seed=args.seed)
+            zk_ms = (time.time() - t0) * 1e3
+            public = r1cs.public_inputs(witness)
+            assert verify_r1cs(p1, public, r1cs)
+            assert verify_r1cs_zk(p2, public, r1cs)
+            ratio = zk_ms / plain_ms if plain_ms > 0 else float("inf")
+            print(f"{m:>6} {plain_ms:>10.2f} {zk_ms:>10.2f} {ratio:>8.3f}x")
+        return 0
     print(f"{'m':>6} {'build ms':>10} {'prove ms':>10} {'verify ms':>10} {'proof B':>8}")
     for m in sizes:
         t0 = time.time()
@@ -361,6 +383,8 @@ def build_parser() -> argparse.ArgumentParser:
     bm = sub.add_parser("benchmark", help="prove/verify scaling table")
     bm.add_argument("--sizes", default="10,20,30")
     bm.add_argument("--zk", action="store_true")
+    bm.add_argument("--compare-zk", action="store_true",
+                    help="report the ZK/plain overhead ratio per size")
     bm.set_defaults(fn=cmd_benchmark)
 
     st = sub.add_parser("setup", help="write a context descriptor")

@@ -91,3 +91,21 @@ def test_compact_deserialize_any(ctx):
     proof = prove_r1cs_compact(r1cs, [1, 7, 13, 91], ctx, seed=1)
     got = deserialize_any(proof.to_bytes())
     assert isinstance(got, CompactProofR1CS)
+
+
+def test_deserializer_robustness(ctx):
+    """Truncated/garbage inputs must raise SerializationError, never crash."""
+    from lambda_snark_tpu import SerializationError, deserialize_any
+
+    r1cs = mult_gate_r1cs()
+    good = prove_r1cs_compact(r1cs, [1, 7, 13, 91], ctx, seed=1).to_bytes()
+    for cut in (0, 1, 8, 9, 20, len(good) - 1):
+        with pytest.raises((SerializationError, Exception)):
+            p = deserialize_any(good[:cut])
+            # a successful short parse must still round-trip identically
+            assert p.to_bytes() == good[:cut]
+    with pytest.raises(SerializationError):
+        deserialize_any(b"LSNKTPU1" + bytes([99]) + good[9:])
+    # flipped magic
+    with pytest.raises(SerializationError):
+        deserialize_any(b"XSNKTPU1" + good[8:])
