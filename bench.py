@@ -73,7 +73,7 @@ def bench_ntt(m_log2: int = 20, batch: int = 1, iters: int = 10):
 
     t0 = time.time()
     per_transform = measure_marginal(
-        lambda v: ntt_large._forward(fsp, v), x, iters=iters
+        lambda v: ntt_large._forward(fsp, v), x, k_large=129, iters=max(iters, 8)
     )
     compile_s = time.time() - t0
     per_transform /= batch

@@ -59,7 +59,13 @@ from .r1cs.domain import Domain
 from .r1cs.r1cs import R1CS
 from .r1cs.sparse import SparseMatrix
 from .transcript.challenge import Challenge, derive_dual
-from .verifier import verify_r1cs, verify_r1cs_zk, verify_simple
+from .prover_batched import prove_r1cs_batched
+from .verifier import (
+    verify_r1cs,
+    verify_r1cs_with_context,
+    verify_r1cs_zk,
+    verify_simple,
+)
 
 __version__ = "0.1.0"
 
@@ -100,6 +106,7 @@ __all__ = [
     "deserialize_any",
     "linear_combine",
     "prove_r1cs",
+    "prove_r1cs_batched",
     "prove_r1cs_compact",
     "prove_r1cs_zk",
     "prove_simple",
@@ -109,6 +116,7 @@ __all__ = [
     "verify_opening",
     "verify_r1cs",
     "verify_r1cs_compact",
+    "verify_r1cs_with_context",
     "verify_r1cs_zk",
     "verify_simple",
 ]
