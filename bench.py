@@ -111,17 +111,23 @@ def measure_marginal(fn, x, k_small: int = 1, k_large: int = 65, iters: int = 5)
 
         return run
 
+    def materialize(y):
+        # force completion with a 1-element transfer: full-array host pulls
+        # through the relay add 180-600 ms of *variable* noise that swamps
+        # the marginal difference; a scalar read still blocks on the result.
+        leaf = jax.tree_util.tree_leaves(y)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
     run_s, run_l = chained(k_small), chained(k_large)
     # compile + settle both
-    np.asarray(jax.tree_util.tree_leaves(run_s(x))[0])
-    np.asarray(jax.tree_util.tree_leaves(run_l(x))[0])
+    materialize(run_s(x))
+    materialize(run_l(x))
 
     def timed(run):
         best = float("inf")
         for _ in range(iters):
             t0 = time.time()
-            y = run(x)
-            np.asarray(jax.tree_util.tree_leaves(y)[0])  # force completion
+            materialize(run(x))
             best = min(best, time.time() - t0)
         return best
 
