@@ -167,9 +167,66 @@ def _mul_mod_goldilocks(al: List, bl: List) -> List:
     return r
 
 
+_Q45 = 17592169062401  # 2^44 - 16982015 (the 45-bit NTT-friendly prime)
+_Q45_C = (1 << 44) - _Q45  # 16982015 < 2^25: digits (8191, 259)
+
+
+def _mul_c45(xl: List, out_digits: int) -> List:
+    """x * 16982015 as digits (x given as digit list)."""
+    return _digit_mul(xl, _const_digits((8191, 259)), out_digits=out_digits)
+
+
+def _fold_q45(digits: List, in_bits: int) -> List:
+    """One 2^44 = c (mod q) fold: value < 2^in_bits -> x_lo + x_hi * c.
+
+    x_lo = low 44 bits (digits 0,1 + low 12 bits of digit 2);
+    x_hi = value >> 44 (in_bits - 44 bits).
+    """
+    hi_digits_needed = (in_bits - 44 + 15) // 16
+    x_hi = []
+    for t in range(hi_digits_needed):
+        bit = 44 + 16 * t
+        j0 = bit >> 4
+        o = bit & 15
+        v = (digits[j0] >> o) if j0 < len(digits) else _zero()
+        if o > 0 and j0 + 1 < len(digits):
+            v = v | (digits[j0 + 1] << (16 - o))
+        x_hi.append(v & _MASK)
+    x_lo = [digits[0], digits[1], digits[2] & 0x0FFF]
+    prod_bits = (in_bits - 44) + 25
+    prod = _mul_c45(x_hi, out_digits=(prod_bits + 15) // 16)
+    out_bits = max(45, prod_bits) + 1
+    s, carry = _digit_add(x_lo, prod)
+    if (out_bits + 15) // 16 > len(s):
+        s.append(carry)
+    return s
+
+
+def _mul_mod_q45(al: List, bl: List) -> List:
+    """Solinas-style reduction for q = 2^44 - c, c = 16982015 < 2^25.
+
+    t < 2^90 -> fold to < 2^72 -> < 2^54 -> < 2^46, then <= 2 conditional
+    subtracts. ~40% fewer digit multiplies than generic Barrett (D=3).
+    """
+    t = _digit_mul(al, bl, out_digits=6)  # < 2^90
+    r = _fold_q45(t, 90)   # < 2^46 + 2^71 ~ 2^72
+    r = _fold_q45(r, 72)   # < 2^44 + 2^53 ~ 2^54
+    r = _fold_q45(r, 54)   # < 2^44 + 2^35 < 2^45
+    q_digits = ((_Q45 >> 0) & 0xFFFF, (_Q45 >> 16) & 0xFFFF, (_Q45 >> 32) & 0xFFFF, 0)
+    q_ext = _const_digits(q_digits)
+    while len(r) < 4:
+        r.append(_zero())
+    r = r[:4]
+    r = _cond_sub(r, q_ext)  # r < 2^45 < 3q: two subtracts canonicalize
+    r = _cond_sub(r, q_ext)
+    return r[:3]
+
+
 def _mul_mod_digits(ctx: ModulusCtx, al: List, bl: List) -> List:
     if ctx.q == _GOLDILOCKS:
         return _mul_mod_goldilocks(al, bl)
+    if ctx.q == _Q45:
+        return _mul_mod_q45(al, bl)
     d = ctx.d
     # full 2D-digit product
     t = _digit_mul(al, bl, out_digits=2 * d)

@@ -202,9 +202,14 @@ def _fused_kernel(plan: RingCommitPlan, s_ref, e_ref, m_ref, ahat_ref,
 
 
 def _pick_tile(b: int, n: int) -> int:
-    budget = (256 * 1024) // (_D * n * 4)
-    tile = 1
-    while tile * 2 <= b and tile * 2 <= max(budget, 1) and b % (tile * 2) == 0:
+    """Batch-rows per tile: Mosaic needs the second-to-last block dim
+    divisible by 8 (or equal to the full dim), so tiles are >= 8 whenever the
+    batch allows; the VMEM budget caps growth for large n."""
+    if b < 8:
+        return b  # full-dimension exemption
+    budget = max((512 * 1024) // (_D * n * 4), 8)
+    tile = 8
+    while tile * 2 <= b and tile * 2 <= budget and b % (tile * 2) == 0:
         tile *= 2
     return tile
 

@@ -158,3 +158,19 @@ def test_goldilocks_negacyclic_matches_numpy_host():
     xb = jnp.asarray(to_limbs(b, plan.ctx.d))
     got = [int(v) for v in from_limbs(np.asarray(ntt_jax.negacyclic_mul(plan, xa, xb)))]
     assert got == want
+
+
+def test_q45_solinas_stress():
+    """Adversarial boundary products through the q45 Solinas reduction."""
+    q = NTT_FRIENDLY_MODULUS
+    ctx = modulus_ctx(q)
+    rng = random.Random(123)
+    specials = [0, 1, 2, q - 1, q - 2, ((1 << 44) - 1) % q, 0xFFFF,
+                (q - 1) // 2, (q + 1) // 2, (1 << 32) - 1, 1 << 32]
+    cases = [(a % q, b % q) for a in specials for b in specials]
+    cases += [(rng.randrange(q), rng.randrange(q)) for _ in range(3000)]
+    a = jnp.asarray(to_limbs(np.array([x for x, _ in cases], dtype=object), 3))
+    b = jnp.asarray(to_limbs(np.array([y for _, y in cases], dtype=object), 3))
+    got = from_limbs(np.asarray(modarith.mul_mod_jit(ctx, a, b)))
+    for i, (x, y) in enumerate(cases):
+        assert int(got[i]) == (x * y) % q, (x, y)
