@@ -40,11 +40,26 @@ def digest_words(digest: bytes) -> List[int]:
     return [int.from_bytes(digest[i : i + 8], "little") for i in range(0, 32, 8)]
 
 
-def derive_dual_digest(public_inputs, digest: bytes, modulus: int):
-    words = digest_words(digest)
+def derive_dual_digest(public_inputs, digest: bytes, modulus: int,
+                       circuit_dig: bytes = b""):
+    """Dual challenges over the commitment digest *and* the circuit digest.
+
+    Binding the circuit into the transcript closes a malleability the v1
+    (reference-parity) format inherits from the reference: its verifier never
+    hashes A/B/C, so a v1 proof for one circuit verifies against any other
+    circuit with the same (m, l, modulus, domain). The compact format is our
+    own wire format, so it fixes this.
+    """
+    words = digest_words(digest) + (digest_words(circuit_dig) if circuit_dig else [])
     ch_a = Challenge.derive(public_inputs, words, modulus)
     ch_b = Challenge.derive([ch_a.alpha], words, modulus)
     return ch_a, ch_b
+
+
+def _circuit_digest(r1cs: R1CS) -> bytes:
+    from ..utils.artifacts import circuit_digest
+
+    return bytes.fromhex(circuit_digest(r1cs))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,7 +159,7 @@ def prove_r1cs_compact(
     commitment, _op = lwe.commit(ctx, committed, seed)
     digest = commitment.digest()
     public_inputs = r1cs.public_inputs(witness)
-    ch_a, ch_b = derive_dual_digest(public_inputs, digest, q)
+    ch_a, ch_b = derive_dual_digest(public_inputs, digest, q, _circuit_digest(r1cs))
     alpha, beta = ch_a.alpha, ch_b.alpha
     a_poly, b_poly, c_poly = r1cs.interpolations(witness)
     return CompactProofR1CS(
@@ -168,7 +183,9 @@ def verify_r1cs_compact(
     proof: CompactProofR1CS, public_inputs: Sequence[int], r1cs: R1CS
 ) -> bool:
     q = r1cs.modulus
-    ch_a, ch_b = derive_dual_digest(public_inputs, proof.commitment_digest, q)
+    ch_a, ch_b = derive_dual_digest(
+        public_inputs, proof.commitment_digest, q, _circuit_digest(r1cs)
+    )
     if proof.challenge_alpha.alpha != ch_a.alpha:
         return False
     if proof.challenge_beta.alpha != ch_b.alpha:

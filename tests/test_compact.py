@@ -109,3 +109,20 @@ def test_deserializer_robustness(ctx):
     # flipped magic
     with pytest.raises(SerializationError):
         deserialize_any(b"XSNKTPU1" + good[8:])
+
+
+def test_compact_proof_bound_to_circuit(ctx):
+    """v2 transcripts hash the circuit digest: a proof for one circuit must
+    reject against a different circuit with identical shape (the v1 /
+    reference format inherits this malleability; see SECURITY.md)."""
+    from lambda_snark_tpu import SparseMatrix, R1CS
+
+    r1cs = mult_gate_r1cs()
+    witness = [1, 7, 13, 91]
+    public = r1cs.public_inputs(witness)
+    proof = prove_r1cs_compact(r1cs, witness, ctx, seed=1)
+    assert verify_r1cs_compact(proof, public, r1cs)
+    # same shape, different A matrix
+    a2 = SparseMatrix.from_dense([[0, 2, 0, 0]])
+    other = R1CS(m=1, n=4, l=2, a=a2, b=r1cs.b, c=r1cs.c, modulus=Q)
+    assert not verify_r1cs_compact(proof, public, other)
