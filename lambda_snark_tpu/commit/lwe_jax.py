@@ -14,8 +14,6 @@ lives in ``parallel.commit_sharded``.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,15 +21,15 @@ import numpy as np
 
 from ..core import field
 from ..core.params import NTT_MODULUS, NTT_PRIMITIVE_ROOT
-from ..ops import gaussian, modarith, sampler_jax
-from ..ops.limb import modulus_ctx, to_limbs
+from ..ops import modarith, sampler_jax
+from ..ops.limb import to_limbs
 from ..ops.ntt_jax import (
     NttPlan,
     ntt_forward_negacyclic,
     ntt_inverse_negacyclic,
     ntt_plan,
 )
-from .lwe import RING_MODULUS, LweContext
+from .lwe import LweContext
 
 
 def goldilocks_ring_plan(n: int) -> NttPlan:

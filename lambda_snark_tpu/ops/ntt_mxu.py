@@ -36,7 +36,7 @@ from jax import lax
 from ..core import field
 from ..core.params import NTT_MODULUS, NTT_PRIMITIVE_ROOT
 from . import modarith
-from .limb import modulus_ctx, to_limbs
+from .limb import modulus_ctx
 
 P = NTT_MODULUS
 _T = 10  # 7-bit subdigits covering 64 bits

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import field
 from . import modarith
-from .limb import int_to_digits, modulus_ctx, to_limbs
+from .limb import to_limbs
 from .ntt_jax import NttPlan, ntt_plan
 
 

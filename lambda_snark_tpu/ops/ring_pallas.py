@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List
 
 import jax
 import jax.numpy as jnp

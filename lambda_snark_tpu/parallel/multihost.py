@@ -19,7 +19,6 @@ import time
 from typing import Callable, Optional
 
 import jax
-import numpy as np
 
 from .mesh import make_mesh
 

@@ -26,7 +26,6 @@ Bit-exactness vs the single-device four-step is asserted in
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import modarith
-from ..ops.limb import modulus_ctx
 from ..ops.ntt_jax import ntt_forward, ntt_inverse
 from ..ops.ntt_large import FourStepPlan, four_step_plan
 

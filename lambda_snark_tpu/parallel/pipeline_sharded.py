@@ -27,9 +27,6 @@ host-side from the returned (s, e) randomness (tests/test_pipeline_sharded.py).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +39,7 @@ from .core import field
 from .core.errors import DomainError
 from .core.params import NTT_FRIENDLY_MODULUS, ROOTS_OF_UNITY_45BIT
 from .ops import modarith
-from .ops.limb import int_to_digits, modulus_ctx, to_limbs
+from .ops.limb import int_to_digits
 from .ops.ntt_jax import (
     NttPlan,
     ntt_forward_negacyclic,

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -20,8 +20,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from .commit import lwe
-from .core import field
-from .core.errors import InvalidInputError, InvalidWitnessError
+from .core.errors import InvalidInputError
 from .proof.polynomial import Polynomial
 from .proof.types import EvalOpening, Proof, ProofR1CS, ProofR1csZk
 from .r1cs import poly as polyops

@@ -27,7 +27,7 @@ from .core.errors import DomainError, InvalidWitnessError
 from .pipeline import ProvePlan, prove_stage_batch_jit, prove_stage_batch_zk_jit
 from .proof.types import EvalOpening, ProofR1CS, ProofR1csZk
 from .r1cs.r1cs import R1CS
-from .ops.limb import from_limbs, from_limbs_u64, modulus_ctx, to_limbs
+from .ops.limb import from_limbs, from_limbs_u64, to_limbs
 from .transcript.challenge import derive_dual
 from .utils.chacha import ChaCha20Rng
 

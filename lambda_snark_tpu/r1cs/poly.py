@@ -9,11 +9,11 @@ roots domain and m is large.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 from ..core import field
 from ..core.errors import InvalidWitnessError
-from .domain import Domain, ROOTS, SEQUENTIAL
+from .domain import Domain, ROOTS
 
 
 def poly_add(a: Sequence[int], b: Sequence[int], q: int) -> List[int]:

@@ -15,7 +15,6 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
-from ..core import field
 from ..core.errors import InvalidDimensionsError, InvalidWitnessError
 from . import poly
 from .domain import Domain

@@ -16,7 +16,6 @@ digest is already in the manifest; re-derivation replaces restart state.
 
 from __future__ import annotations
 
-import dataclasses
 import hashlib
 import json
 import os

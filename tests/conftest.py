@@ -29,6 +29,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is XLA-compile-bound; a persistent cache makes re-runs fast.
+_CACHE_DIR = os.path.join(REPO_ROOT, ".jax_compile_cache_tests")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_ROOT = "/root/reference"
 TEST_VECTOR_DIR = os.path.join(REFERENCE_ROOT, "test-vectors")
 
