@@ -180,6 +180,15 @@ def cmd_healthcare_example(args) -> int:
             r1cs, witness, q_coeffs, description="healthcare high-risk quotient"
         ),
     )
+    # reference-format dump at the Lean certificate modulus (2013265921):
+    # reproduces formal/tests/HealthcareQuotient.lean's golden coefficients
+    hc_q = 2013265921
+    hc_r1cs = build_healthcare_circuit(hc_q)
+    hc_qc = hc_r1cs.compute_quotient_poly(high_risk_witness(hc_q))
+    lean_export.write_artifact(
+        f"{out_dir}/r1cs/healthcare_quotient_lean.json",
+        lean_export.quotient_dump_reference_format(hc_q, hc_qc),
+    )
     print(f"  lean artifacts written under {out_dir}/r1cs/")
     return 0
 

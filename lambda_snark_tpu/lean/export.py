@@ -78,6 +78,16 @@ def quotient_dump_json(
     return json.dumps(payload, indent=2)
 
 
+def quotient_dump_reference_format(modulus: int, q_coeffs: Sequence[int]) -> str:
+    """The exact JSON shape of the reference dump binary
+    (``examples/healthcare_quotient_dump.rs``: {"modulus", "coefficients"}),
+    consumable by the existing Lean tooling."""
+    return json.dumps(
+        {"modulus": modulus, "coefficients": [int(v) for v in q_coeffs]},
+        indent=2,
+    )
+
+
 def write_artifact(path: str, content: str) -> None:
     import os
 

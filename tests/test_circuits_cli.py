@@ -227,3 +227,16 @@ def test_phase2_placeholders():
         checks.lincheck_prove(None, [], 0)
     with _pytest.raises(checks.NotYetImplementedCheck):
         checks.mulcheck_prove(None, [], 0)
+
+
+def test_healthcare_quotient_matches_reference_lean_certificate():
+    """The quotient pipeline reproduces the reference's committed Lean golden
+    artifact coefficient-for-coefficient (formal/tests/HealthcareQuotient.lean
+    healthcareQuotientCoeffs, modulus 2013265921)."""
+    q = 2013265921
+    r1cs = build_healthcare_circuit(q)
+    w = high_risk_witness(q)
+    assert r1cs.compute_quotient_poly(w) == [
+        536591292, 151123296, 1268815861, 1689701572, 1641423289,
+        1200004351, 1233086762, 1322307170, 1694015127,
+    ]
