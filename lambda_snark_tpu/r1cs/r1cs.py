@@ -110,13 +110,91 @@ class R1CS:
 
         Raises InvalidWitnessError when the witness fails the constraints
         (either the explicit pre-check or a nonzero division remainder).
+
+        Roots domains use the O(m log m) odd-coset formulation (identical
+        output; see ``compute_quotient_poly_longdiv`` for the oracle);
+        sequential domains use the reference's schoolbook + long division.
         """
+        if not self.is_satisfied(witness):
+            raise InvalidWitnessError("witness does not satisfy R1CS constraints")
+        if self.domain.kind == "roots" and (self.m & (self.m - 1)) == 0:
+            fast = self._quotient_odd_coset(witness)
+            if fast is not None:
+                return fast
+        a_poly, b_poly, c_poly = self.interpolations(witness)
+        ab = poly.poly_mul(a_poly, b_poly, self.modulus)
+        numerator = poly.poly_sub(ab, c_poly, self.modulus)
+        return poly.poly_div_vanishing(numerator, self.domain)
+
+    def compute_quotient_poly_longdiv(self, witness: Sequence[int]) -> List[int]:
+        """O(m^2) oracle: schoolbook product + long division (reference path)."""
         if not self.is_satisfied(witness):
             raise InvalidWitnessError("witness does not satisfy R1CS constraints")
         a_poly, b_poly, c_poly = self.interpolations(witness)
         ab = poly.poly_mul(a_poly, b_poly, self.modulus)
         numerator = poly.poly_sub(ab, c_poly, self.modulus)
         return poly.poly_div_vanishing(numerator, self.domain)
+
+    def _quotient_odd_coset(self, witness: Sequence[int]):
+        """Host odd-coset quotient (the device pipeline's math, Python ints).
+
+        On the odd 2m-th roots psi*w^t, Z_H = X^m - 1 is identically -2, so
+        Q's negacyclic NTT is ((A.B - C) at odd points) * (-2)^-1. Needs a
+        2m-th root psi with psi^2 == omega; returns None when unavailable.
+        """
+        from ..core import field as f
+        from ..core.params import (
+            NTT_FRIENDLY_MODULUS,
+            NTT_MODULUS,
+            NTT_PRIMITIVE_ROOT,
+            ROOTS_OF_UNITY_45BIT,
+        )
+
+        q = self.modulus
+        m = self.m
+        psi = None
+        if q == NTT_FRIENDLY_MODULUS and 2 * m in ROOTS_OF_UNITY_45BIT:
+            psi = ROOTS_OF_UNITY_45BIT[2 * m]
+        elif q == NTT_MODULUS and 2 * m <= (1 << 32):
+            psi = f.mod_pow(NTT_PRIMITIVE_ROOT, (1 << 32) // (2 * m), q)
+        if psi is None or f.mul_mod(psi, psi, q) != self.domain.omega % q:
+            return None
+        psi_pows = [1] * m
+        for i in range(1, m):
+            psi_pows[i] = f.mul_mod(psi_pows[i - 1], psi, q)
+        psi_inv = f.mod_inverse(psi, q)
+        psi_inv_pows = [1] * m
+        for i in range(1, m):
+            psi_inv_pows[i] = f.mul_mod(psi_inv_pows[i - 1], psi_inv, q)
+        omega = self.domain.omega
+
+        def neg_fwd(coeffs):
+            tw = [f.mul_mod(c, p, q) for c, p in zip(coeffs, psi_pows)]
+            return poly.ntt_forward(tw, q, omega)
+
+        a_poly, b_poly, c_poly = self.interpolations(witness)
+
+        def padded(p_):
+            return list(p_) + [0] * (m - len(p_))
+
+        a_odd = neg_fwd(padded(a_poly))
+        b_odd = neg_fwd(padded(b_poly))
+        c_odd = neg_fwd(padded(c_poly))
+        neg_half_inv = f.mod_inverse(q - 2, q)
+        q_odd = [
+            f.mul_mod(
+                f.sub_mod(f.mul_mod(a_odd[i], b_odd[i], q), c_odd[i], q),
+                neg_half_inv,
+                q,
+            )
+            for i in range(m)
+        ]
+        q_cyc = poly.ntt_inverse(q_odd, q, omega)
+        q_coeffs = [f.mul_mod(c, p, q) for c, p in zip(q_cyc, psi_inv_pows)]
+        # trim like the long-division path
+        while len(q_coeffs) > 1 and q_coeffs[-1] == 0:
+            q_coeffs.pop()
+        return q_coeffs
 
     # -- misc ----------------------------------------------------------------
 

@@ -194,3 +194,14 @@ def test_tv2_negative_coefficients():
     r1cs = builder.build()
     assert r1cs.is_satisfied([1, 314, 628, 471, 471])
     assert not r1cs.is_satisfied([1, 314, 628, 471, 470])
+
+
+def test_quotient_odd_coset_equals_longdiv():
+    """The O(m log m) host quotient equals the long-division oracle exactly."""
+    for modulus in (NTT_FRIENDLY_MODULUS, NTT_MODULUS):
+        r1cs = multiplication_gates(8, modulus)
+        assert r1cs.domain.kind == "roots"
+        w = mult_witness(8, modulus, seed=7)
+        fast = r1cs.compute_quotient_poly(w)
+        slow = r1cs.compute_quotient_poly_longdiv(w)
+        assert fast == slow, modulus
