@@ -35,13 +35,18 @@ def circuit_digest(r1cs: R1CS) -> str:
     return h.hexdigest()
 
 
-def statement_digest(r1cs: R1CS, public_inputs: Sequence[int], seed: int) -> str:
+def statement_digest(
+    r1cs: R1CS, public_inputs: Sequence[int], seed: int, label: str = ""
+) -> str:
+    """Key for one proved statement. ``label`` disambiguates entries whose
+    (circuit, publics, seed) coincide — e.g. batch members with a shared
+    public prefix (l=1 circuits expose only z0=1)."""
     h = hashlib.sha3_256()
     h.update(circuit_digest(r1cs).encode())
     h.update(b"|")
     for v in public_inputs:
         h.update(f"{int(v)},".encode())
-    h.update(f"|{seed}".encode())
+    h.update(f"|{seed}|{label}".encode())
     return h.hexdigest()
 
 
@@ -73,8 +78,9 @@ class ProofStore:
         seed: int,
         proof,
         extra: Optional[dict] = None,
+        label: str = "",
     ) -> str:
-        key = statement_digest(r1cs, public_inputs, seed)
+        key = statement_digest(r1cs, public_inputs, seed, label)
         data = proof.to_bytes()
         blob = hashlib.sha3_256(data).hexdigest()
         path = os.path.join(self.root, f"{blob}.proof")
@@ -121,11 +127,12 @@ class ProofStore:
         return results
 
     def missing_statements(
-        self, r1cs: R1CS, publics_and_seeds: Sequence
+        self, r1cs: R1CS, publics_and_seeds: Sequence, labels: Optional[Sequence[str]] = None
     ) -> List[int]:
         """Indices not yet proven — the 'resume point' of a batched run."""
         out = []
         for i, (public, seed) in enumerate(publics_and_seeds):
-            if not self.contains(statement_digest(r1cs, public, seed)):
+            label = labels[i] if labels else ""
+            if not self.contains(statement_digest(r1cs, public, seed, label)):
                 out.append(i)
         return out

@@ -64,3 +64,20 @@ def test_digests_bind_circuit_and_statement():
     s1 = statement_digest(r1cs, [1, 7], 1)
     assert s1 != statement_digest(r1cs, [1, 8], 1)
     assert s1 != statement_digest(r1cs, [1, 7], 2)
+
+
+def test_store_labels_disambiguate_batches(tmp_path, ctx):
+    # batch members sharing (circuit, publics, seed) must not collide
+    r1cs = mult_gate_r1cs()
+    store = ProofStore(str(tmp_path / "p"))
+    w = [1, 7, 13, 91]
+    public = r1cs.public_inputs(w)
+    p1 = prove_r1cs(r1cs, w, ctx, seed=1)
+    p2 = prove_r1cs(r1cs, w, ctx, seed=1)
+    k1 = store.save(r1cs, public, 1, p1, label="0")
+    k2 = store.save(r1cs, public, 1, p2, label="1")
+    assert k1 != k2 and len(store.keys()) == 2
+    missing = store.missing_statements(
+        r1cs, [(public, 1), (public, 1), (public, 1)], labels=["0", "1", "2"]
+    )
+    assert missing == [2]
