@@ -58,14 +58,17 @@ def bench_ntt(m_log2: int = 20, batch: int = 1, iters: int = 10):
     from lambda_snark_tpu.core import field
     from lambda_snark_tpu.core.params import NTT_MODULUS, NTT_PRIMITIVE_ROOT
     from lambda_snark_tpu.ops.limb import modulus_ctx
-    from lambda_snark_tpu.ops import ntt_large
+    from lambda_snark_tpu.ops import ntt_mxu
 
     from jax import lax
 
     m = 1 << m_log2
     q = NTT_MODULUS
     omega = field.mod_pow(NTT_PRIMITIVE_ROOT, (1 << 32) // m, q)
-    fsp = ntt_large.four_step_plan(m, q, omega)
+    # production path: fused-Pallas MXU leaves (buckets + recombination in
+    # VMEM) — measured 487 us vs 1225 us for the butterfly four-step at
+    # m=2^20, same-run comparison (scripts/exp_mxu_fused.py)
+    plan = ntt_mxu.mxu_ntt_plan(m, omega)
     ctx = modulus_ctx(q)
     rng = np.random.default_rng(0)
     top = ctx.q_digits[-1]
@@ -73,7 +76,8 @@ def bench_ntt(m_log2: int = 20, batch: int = 1, iters: int = 10):
 
     t0 = time.time()
     per_transform = measure_marginal(
-        lambda v: ntt_large._forward(fsp, v), x, k_large=129, iters=max(iters, 8)
+        lambda v: ntt_mxu._apply(plan, v, True), x, k_large=129,
+        iters=max(iters, 8)
     )
     compile_s = time.time() - t0
     per_transform /= batch

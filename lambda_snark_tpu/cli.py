@@ -301,6 +301,12 @@ def cmd_prove(args) -> int:
     elif args.zk:
         proof = prove_r1cs_zk(r1cs, witness, ctx, seed=args.seed,
                               blinding_seed=args.blinding_seed)
+    elif getattr(args, "phase2", False):
+        from .proof.checks import prove_r1cs_checked
+
+        proof, binding = prove_r1cs_checked(r1cs, witness, ctx, seed=args.seed)
+        with open(args.out + ".witness-binding", "wb") as f:
+            f.write(binding.to_bytes())
     else:
         proof = prove_r1cs(r1cs, witness, ctx, seed=args.seed)
     elapsed = (time.time() - t0) * 1e3
@@ -308,6 +314,8 @@ def cmd_prove(args) -> int:
     with open(args.out, "wb") as f:
         f.write(data)
     print(f"proof written to {args.out} ({len(data)} bytes, {elapsed:.2f} ms)")
+    if getattr(args, "phase2", False) and not args.zk and not args.compact:
+        print(f"phase-2 witness binding written to {args.out}.witness-binding")
     return 0
 
 
@@ -324,7 +332,17 @@ def cmd_verify(args) -> int:
     elif isinstance(proof, ProofR1csZk):
         ok = verify_r1cs_zk(proof, public, r1cs)
     elif isinstance(proof, ProofR1CS):
-        ok = verify_r1cs(proof, public, r1cs)
+        binding_path = args.proof + ".witness-binding"
+        if getattr(args, "phase2", False):
+            from .proof.checks import WitnessBinding, verify_r1cs_checked
+
+            ctx = _ctx_from_descriptor(args.context, r1cs.modulus,
+                                       args.ring_degree)
+            with open(binding_path, "rb") as f:
+                binding = WitnessBinding.from_bytes(f.read())
+            ok = verify_r1cs_checked(proof, binding, public, r1cs, ctx)
+        else:
+            ok = verify_r1cs(proof, public, r1cs)
     else:
         print("unsupported proof kind for R1CS verification", file=sys.stderr)
         return 2
@@ -413,6 +431,9 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--compact", action="store_true",
                     help="193/201-byte digest-bound proof")
     pv.add_argument("--blinding-seed", type=lambda s: int(s, 0), default=None)
+    pv.add_argument("--phase2", action="store_true",
+                    help="attach the committed-witness lincheck/mulcheck "
+                         "binding (non-ZK; writes <out>.witness-binding)")
     pv.add_argument("--out", default="proof.bin")
     pv.set_defaults(fn=cmd_prove)
 
@@ -420,6 +441,10 @@ def build_parser() -> argparse.ArgumentParser:
     vf.add_argument("--circuit", required=True)
     vf.add_argument("--proof", required=True)
     vf.add_argument("--public", required=True, help="comma-separated public inputs")
+    vf.add_argument("--phase2", action="store_true",
+                    help="also verify <proof>.witness-binding "
+                         "(lincheck + mulcheck + LWE binding)")
+    vf.add_argument("--context", help="context descriptor for --phase2")
     vf.set_defaults(fn=cmd_verify)
 
     le = sub.add_parser("lean-export", help="emit the Lean VK term")

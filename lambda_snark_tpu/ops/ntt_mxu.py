@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..core import field
 from ..core.params import NTT_MODULUS, NTT_PRIMITIVE_ROOT
@@ -132,13 +134,23 @@ def _recombine_goldilocks(buckets: List) -> jnp.ndarray:
     return acc_planes
 
 
+_LANE = 128  # MXU/VPU lane width: packed DFT matrices are (T, 128, 128)
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class DftMatmulPlan:
-    """Radix-B DFT as subdigit matmuls: W[i, j] = omega^(i j)."""
+    """Radix-B DFT as subdigit matmuls: W[i, j] = omega^(i j).
+
+    ``w_subs_packed`` is the 128-lane form used by the fused Pallas kernel:
+    for B < 128 it is a block-diagonal stack of 128/B copies of W, so
+    128/B independent B-point DFTs run per matmul row-block with full MXU
+    tiles (the zero blocks are free relative to the HBM savings).
+    """
 
     b: int
     omega: int
     w_subs: np.ndarray  # (T, B, B) int8
+    w_subs_packed: Optional[np.ndarray]  # (T, 128, 128) int8 or None
 
     @staticmethod
     def create(b: int, omega: int) -> "DftMatmulPlan":
@@ -149,7 +161,17 @@ class DftMatmulPlan:
             for j in range(b):
                 w[i, j] = acc
                 acc = field.mul_mod(acc, step, P)
-        return DftMatmulPlan(b=b, omega=omega, w_subs=_subdigit_planes_host(w))
+        subs = _subdigit_planes_host(w)
+        packed = None
+        if b == _LANE:
+            packed = subs
+        elif b < _LANE and _LANE % b == 0:
+            reps = _LANE // b
+            packed = np.zeros((_T, _LANE, _LANE), dtype=np.int8)
+            for r_i in range(reps):
+                packed[:, r_i * b:(r_i + 1) * b, r_i * b:(r_i + 1) * b] = subs
+        return DftMatmulPlan(b=b, omega=omega, w_subs=subs,
+                             w_subs_packed=packed)
 
 
 def dft_matmul_apply(plan: DftMatmulPlan, x) -> jnp.ndarray:
@@ -172,6 +194,218 @@ def dft_matmul_apply(plan: DftMatmulPlan, x) -> jnp.ndarray:
     return _recombine_goldilocks(buckets)
 
 
+# --- fused Pallas leaf: buckets + recombination resident in VMEM ------------
+
+
+def _leaf_kernel(x_ref, w_ref, o_ref):
+    """One row-tile of the radix-B DFT, fully fused.
+
+    x_ref: (D, TM, 128) uint32 digit planes; w_ref: (T, 128, 128) int8
+    packed DFT matrix; o_ref: (D, TM, 128) canonical digit planes.
+
+    The XLA path (``dft_matmul_apply``) materializes the 19 int32 bucket
+    matrices to HBM between the matmuls and the recombination (~75 MB of
+    traffic per level at m=2^20 — BENCH_NOTES.md "MXU experiment"); here a
+    bucket lives only as a VMEM accumulator between its T int8 matmuls and
+    its fold into the digit columns.
+    """
+    x = x_ref[:]
+    subs = _extract_subdigits(x)  # T x (TM, 128) int8
+    o_ref[:] = _recombine_goldilocks(_buckets(subs, w_ref))
+
+
+def _pick_leaf_tile(m_rows: int) -> int:
+    """Largest power-of-two row tile <= 512 dividing m_rows (>= 32 for int8
+    sublane tiling; the VMEM live set at 512 rows is ~6 MB)."""
+    tile = 1
+    while tile * 2 <= min(m_rows, 512) and m_rows % (tile * 2) == 0:
+        tile *= 2
+    return tile
+
+
+def dft_matmul_apply_pallas(plan: DftMatmulPlan, x) -> jnp.ndarray:
+    """(D, M, B) planes -> (D, M, B) DFT along the last axis, fused kernel.
+
+    B <= 128 leaves run as lane-packed (D, M*B/128, 128) tiles against the
+    block-diagonal ``w_subs_packed`` matrix.
+    """
+    assert plan.w_subs_packed is not None, f"no packed form for B={plan.b}"
+    d, m_rows, b = x.shape
+    reps = _LANE // b
+    if reps > 1:
+        assert m_rows % reps == 0, (m_rows, b)
+        x = x.reshape(d, m_rows // reps, _LANE)
+    rows = x.shape[1]
+    tile = _pick_leaf_tile(rows)
+    interpret = jax.default_backend() != "tpu"
+    w = jnp.asarray(plan.w_subs_packed)
+    out = pl.pallas_call(
+        _leaf_kernel,
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec((d, tile, _LANE), lambda i: (0, i, 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((_T, _LANE, _LANE), lambda i: (0, 0, 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, tile, _LANE), lambda i: (0, i, 0),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, w)
+    if reps > 1:
+        out = out.reshape(d, m_rows, b)
+    return out
+
+
+# --- packed (2 x uint32 words) fused pipeline -------------------------------
+#
+# The 4 x 16-bit digit-plane representation spends 16 bytes of HBM per
+# 8-byte Goldilocks element; at m = 2^20 every kernel pass is HBM-bound, so
+# the packed pipeline stores elements as 2 uint32 words (lo, hi), expands to
+# digits only inside VMEM, and additionally fuses each level's twiddle
+# multiply into the producing leaf kernel — between levels XLA only moves
+# packed words (transposes), no elementwise passes remain.
+
+
+def pack_planes_jnp(x4):
+    """(4, ...) digit planes -> (2, ...) packed words (in-trace, one pass)."""
+    w0 = x4[0] | (x4[1] << 16)
+    w1 = x4[2] | (x4[3] << 16)
+    return jnp.stack([w0, w1])
+
+
+def unpack_planes_jnp(x2):
+    """(2, ...) packed words -> (4, ...) digit planes."""
+    return jnp.stack(
+        [x2[0] & 0xFFFF, x2[0] >> 16, x2[1] & 0xFFFF, x2[1] >> 16]
+    )
+
+
+def _extract_subdigits_packed(x2) -> List:
+    """(2, M, B) packed words -> T x (M, B) int8 7-bit subdigit planes."""
+    subs = []
+    for t in range(_T):
+        p_bit = 7 * t
+        j0 = p_bit >> 5
+        o = p_bit & 31
+        v = x2[j0] >> o
+        if o + 7 > 32 and j0 + 1 < 2:
+            v = v | (x2[j0 + 1] << (32 - o))
+        subs.append((v & 0x7F).astype(jnp.int8))
+    return subs
+
+
+def _leaf_kernel_packed(x_ref, w_ref, o_ref):
+    x2 = x_ref[:]
+    subs = _extract_subdigits_packed(x2)
+    acc = _recombine_goldilocks(_buckets(subs, w_ref))
+    o_ref[:] = pack_planes_jnp(acc)
+
+
+def _leaf_kernel_packed_tw(x_ref, w_ref, tw_ref, o_ref):
+    x2 = x_ref[:]
+    subs = _extract_subdigits_packed(x2)
+    acc = _recombine_goldilocks(_buckets(subs, w_ref))
+    tw = unpack_planes_jnp(tw_ref[:])
+    o_ref[:] = pack_planes_jnp(modarith.mul_mod(_CTX, acc, tw))
+
+
+def _buckets(subs: List, w_ref) -> List:
+    out = []
+    for v in range(2 * _T - 1):
+        g = None
+        for t in range(_T):
+            u = v - t
+            if 0 <= u < _T:
+                p_tu = lax.dot_general(
+                    subs[t], w_ref[u],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                g = p_tu if g is None else g + p_tu
+        out.append(g)
+    return out
+
+
+def _packed_twiddle_host(tw4: np.ndarray, r: int, c: int, reps: int) -> np.ndarray:
+    """(D, R, C) twiddle planes -> packed A_t-layout pattern.
+
+    A_t rows iterate (row, b) with b fastest; lane h of row (row, b) needs
+    tw[h, b]. With lane packing (reps rows per 128-lane row) the pattern is
+    (2, c // reps, 128): packed[:, j, s*r + h] = tw[:, h, (j*reps + s)].
+    Pattern period along rows is c // reps.
+    """
+    d = tw4.shape[0]
+    assert c % reps == 0
+    period = c // reps
+    out4 = np.empty((d, period, reps * r), dtype=np.uint32)
+    for j in range(period):
+        for s in range(reps):
+            b = j * reps + s
+            out4[:, j, s * r:(s + 1) * r] = tw4[:, :, b]
+    w0 = out4[0] | (out4[1] << 16)
+    w1 = out4[2] | (out4[3] << 16)
+    return np.stack([w0, w1])
+
+
+def _leaf_packed(plan: DftMatmulPlan, x2, tw2: Optional[np.ndarray]):
+    """(2, M, B) packed -> packed DFT (optionally x per-element twiddle).
+
+    tw2: packed A_t-layout twiddle pattern (2, period, 128) or None.
+    """
+    assert plan.w_subs_packed is not None, f"no packed form for B={plan.b}"
+    _two, m_rows, b = x2.shape
+    reps = _LANE // b
+    if reps > 1:
+        assert m_rows % reps == 0, (m_rows, b)
+        x2 = x2.reshape(2, m_rows // reps, _LANE)
+    rows = x2.shape[1]
+    tile = _pick_leaf_tile(rows)
+    interpret = jax.default_backend() != "tpu"
+    mem = pl.ANY if interpret else pltpu.VMEM
+    w = jnp.asarray(plan.w_subs_packed)
+    in_specs = [
+        pl.BlockSpec((2, tile, _LANE), lambda i: (0, i, 0), memory_space=mem),
+        pl.BlockSpec((_T, _LANE, _LANE), lambda i: (0, 0, 0),
+                     memory_space=mem),
+    ]
+    operands = [x2, w]
+    kernel = _leaf_kernel_packed
+    if tw2 is not None:
+        period = tw2.shape[1]
+        if period % tile == 0:
+            n_blocks = period // tile
+            in_specs.append(
+                pl.BlockSpec((2, tile, _LANE),
+                             lambda i: (0, i % n_blocks, 0),
+                             memory_space=mem)
+            )
+            operands.append(jnp.asarray(tw2))
+        else:
+            # period < tile: pre-tile the pattern host-side to `tile` rows
+            assert tile % period == 0, (tile, period)
+            tiled = np.tile(tw2, (1, tile // period, 1))
+            in_specs.append(
+                pl.BlockSpec((2, tile, _LANE), lambda i: (0, 0, 0),
+                             memory_space=mem)
+            )
+            operands.append(jnp.asarray(tiled))
+        kernel = _leaf_kernel_packed_tw
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, tile, _LANE), lambda i: (0, i, 0),
+                               memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        interpret=interpret,
+    )(*operands)
+    if reps > 1:
+        out = out.reshape(2, m_rows, b)
+    return out
+
+
 # --- recursive four-step with matmul leaves ---------------------------------
 
 
@@ -185,11 +419,18 @@ class MxuNttPlan:
     plan_r: Optional["MxuNttPlan"] = None
     plan_c: Optional["MxuNttPlan"] = None
     tw: Optional[np.ndarray] = None  # (D, R, C) twiddles omega^(h*b)
+    tw_packed: Optional[np.ndarray] = None  # (2, C//reps, 128) A_t layout
 
     @staticmethod
-    def create(m: int, omega: int, leaf_size: int = 128) -> "MxuNttPlan":
+    def create(m: int, omega: int, leaf_size: int = 128,
+               scale: int = 1) -> "MxuNttPlan":
+        """``scale`` is folded into the top-level twiddle matrix (every
+        element passes through it exactly once) — the packed inverse NTT
+        gets its 1/m normalization for free. Requires m > leaf_size when
+        scale != 1."""
         assert m & (m - 1) == 0
         if m <= leaf_size:
+            assert scale == 1, "scale folding needs a twiddle level"
             return MxuNttPlan(m=m, omega=omega, leaf=DftMatmulPlan.create(m, omega))
         r = min(leaf_size, 1 << ((m.bit_length() - 1) // 2))
         c = m // r
@@ -197,6 +438,20 @@ class MxuNttPlan:
         omega_c = field.mod_pow(omega, r, P)
         from .ntt_large import _twiddle_matrix
 
+        tw = _twiddle_matrix(r, c, omega, P, _D)
+        if scale != 1:
+            from .limb import from_limbs, to_limbs
+
+            vals = from_limbs(tw)
+            flat = vals.reshape(-1)
+            for i in range(flat.shape[0]):
+                flat[i] = field.mul_mod(int(flat[i]), scale, P)
+            tw = to_limbs(vals, _D)
+        reps = _LANE // min(r, _LANE)
+        tw_packed = (
+            _packed_twiddle_host(tw, r, c, reps) if c % max(reps, 1) == 0
+            else None
+        )
         return MxuNttPlan(
             m=m,
             omega=omega,
@@ -205,7 +460,8 @@ class MxuNttPlan:
             c=c,
             plan_r=MxuNttPlan.create(r, omega_r, leaf_size),
             plan_c=MxuNttPlan.create(c, omega_c, leaf_size),
-            tw=_twiddle_matrix(r, c, omega, P, _D),
+            tw=tw,
+            tw_packed=tw_packed,
         )
 
 
@@ -215,16 +471,30 @@ _MXU_CACHE: dict = {}
 def mxu_ntt_plan(m: int, omega: Optional[int] = None, leaf_size: int = 128) -> MxuNttPlan:
     if omega is None:
         omega = field.mod_pow(NTT_PRIMITIVE_ROOT, (1 << 32) // m, P)
-    key = (m, omega, leaf_size)
+    key = (m, omega, leaf_size, 1)
     if key not in _MXU_CACHE:
         _MXU_CACHE[key] = MxuNttPlan.create(m, omega, leaf_size)
     return _MXU_CACHE[key]
 
 
-def _apply(plan: MxuNttPlan, x) -> jnp.ndarray:
+def mxu_intt_plan(m: int, omega: Optional[int] = None, leaf_size: int = 128) -> MxuNttPlan:
+    """Inverse-NTT plan: inverse root, 1/m folded into the top twiddle."""
+    if omega is None:
+        omega = field.mod_pow(NTT_PRIMITIVE_ROOT, (1 << 32) // m, P)
+    key = (m, omega, leaf_size, -1)
+    if key not in _MXU_CACHE:
+        _MXU_CACHE[key] = MxuNttPlan.create(
+            m, field.mod_inverse(omega, P), leaf_size,
+            scale=field.mod_inverse(m, P),
+        )
+    return _MXU_CACHE[key]
+
+
+def _apply(plan: MxuNttPlan, x, fused: bool) -> jnp.ndarray:
     """x: (D, M, m) -> DFT along last axis (natural order in and out)."""
     if plan.leaf is not None:
-        d, mm, b = x.shape
+        if fused and plan.leaf.w_subs_packed is not None:
+            return dft_matmul_apply_pallas(plan.leaf, x)
         return dft_matmul_apply(plan.leaf, x)
     r, c = plan.r, plan.c
     d = x.shape[0]
@@ -232,19 +502,52 @@ def _apply(plan: MxuNttPlan, x) -> jnp.ndarray:
     X = x.reshape(d, m_rows, r, c)
     # step 1: R-point DFTs along R (move R last, flatten rows*C)
     Xt = jnp.swapaxes(X, 2, 3).reshape(d, m_rows * c, r)
-    A_t = _apply(plan.plan_r, Xt).reshape(d, m_rows, c, r)
+    A_t = _apply(plan.plan_r, Xt, fused).reshape(d, m_rows, c, r)
     A = jnp.swapaxes(A_t, 2, 3)  # (D, M, R, C): A[h, b]
     # step 2: twiddle omega^(h*b)
     tw = jnp.asarray(plan.tw)[:, None]  # (D, 1, R, C)
     T_ = modarith.mul_mod(_CTX, A, tw)
     # step 3: C-point DFTs along rows
-    F = _apply(plan.plan_c, T_.reshape(d, m_rows * r, c)).reshape(d, m_rows, r, c)
+    F = _apply(plan.plan_c, T_.reshape(d, m_rows * r, c), fused)
+    F = F.reshape(d, m_rows, r, c)
     # step 4: out[h + R*g] = F[h, g]
     out = jnp.swapaxes(F, 2, 3)
     return out.reshape(d, m_rows, plan.m)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def ntt_forward_mxu(plan: MxuNttPlan, x, fused: bool = False) -> jnp.ndarray:
+    """Batched forward NTT on (D, M, m) Goldilocks digit planes.
+
+    ``fused=True`` runs each DFT leaf as the VMEM-resident Pallas kernel
+    (buckets + recombination on-chip); ``False`` keeps the pure-XLA path.
+    """
+    return _apply(plan, x, fused)
+
+
+def _apply_packed(plan: MxuNttPlan, x2) -> jnp.ndarray:
+    """Packed pipeline: x2 (2, M, m) words -> DFT, twiddles fused in-leaf."""
+    if plan.leaf is not None:
+        return _leaf_packed(plan.leaf, x2, None)
+    r, c = plan.r, plan.c
+    m_rows = x2.shape[1]
+    assert plan.plan_r.leaf is not None and plan.tw_packed is not None
+    X = x2.reshape(2, m_rows, r, c)
+    Xt = jnp.swapaxes(X, 2, 3).reshape(2, m_rows * c, r)
+    # step 1 + step 2 in one kernel: R-point DFT leaf with the level's
+    # twiddle omega^(h*b) applied in A_t layout before writeback
+    A_t = _leaf_packed(plan.plan_r.leaf, Xt, plan.tw_packed)
+    A = jnp.swapaxes(A_t.reshape(2, m_rows, c, r), 2, 3)
+    # step 3: C-point DFTs along rows (recursive, twiddles fused inside)
+    F = _apply_packed(plan.plan_c, A.reshape(2, m_rows * r, c))
+    F = F.reshape(2, m_rows, r, c)
+    # step 4: out[h + R*g] = F[h, g]
+    return jnp.swapaxes(F, 2, 3).reshape(2, m_rows, plan.m)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
-def ntt_forward_mxu(plan: MxuNttPlan, x) -> jnp.ndarray:
-    """Batched forward NTT on (D, M, m) Goldilocks digit planes."""
-    return _apply(plan, x)
+def ntt_forward_mxu_packed(plan: MxuNttPlan, x2) -> jnp.ndarray:
+    """Forward NTT on packed (2, M, m) uint32 words (lo, hi) — the
+    production representation: half the HBM bytes of digit planes, all
+    elementwise work fused into the DFT leaf kernels."""
+    return _apply_packed(plan, x2)

@@ -54,6 +54,79 @@ def test_mxu_four_step_vs_golden(m):
     assert [int(v) for v in from_limbs(got[:, 0])] == want
 
 
+@pytest.mark.parametrize("b", [64, 128])
+def test_fused_pallas_leaf_vs_xla(b):
+    """The VMEM-fused leaf (incl. block-diagonal lane packing for B=64)
+    must match the XLA bucket path bit-for-bit."""
+    omega = _omega(b)
+    plan = ntt_mxu.DftMatmulPlan.create(b, omega)
+    rng = random.Random(1000 + b)
+    rows = 256 // (128 // b)  # lane-packed rows must tile evenly
+    data = [[rng.randrange(P) for _ in range(b)] for _ in range(rows)]
+    x = jnp.asarray(to_limbs(np.array(data, dtype=object), 4))
+    want = np.asarray(ntt_mxu.dft_matmul_apply(plan, x))
+    got = np.asarray(ntt_mxu.dft_matmul_apply_pallas(plan, x))
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("m", [4096])
+def test_mxu_four_step_fused_vs_golden(m):
+    plan = ntt_mxu.mxu_ntt_plan(m)
+    rng = random.Random(70 + m)
+    data = [rng.randrange(P) for _ in range(m)]
+    x = jnp.asarray(to_limbs(np.array([data] * 2, dtype=object), 4))
+    got = np.asarray(ntt_mxu.ntt_forward_mxu(plan, x, fused=True))
+    want = poly.ntt_forward(data, P, _omega(m))
+    for r in range(2):
+        assert [int(v) for v in from_limbs(got[:, r])] == want
+
+
+@pytest.mark.parametrize("m", [256, 1024])
+def test_mxu_packed_pipeline_vs_golden(m):
+    """Packed 2-word pipeline (twiddles fused in-leaf) is bit-exact.
+
+    Small sizes only on CPU: XLA-CPU compiles of the packed interpret-mode
+    kernel are pathologically slow at production tiles (minutes); the
+    m=2^20 packed path is cross-checked against the unpacked fused kernel
+    on the real TPU by scripts/exp_mxu_fused.py. m=256 exercises the
+    twiddle slice branch (period % tile == 0), m=1024 the pre-tile branch
+    (period < tile)."""
+    plan = ntt_mxu.mxu_ntt_plan(m)
+    rng = random.Random(99 + m)
+    data = [rng.randrange(P) for _ in range(m)]
+    x4 = jnp.asarray(to_limbs(np.array([data] * 2, dtype=object), 4))
+    x2 = ntt_mxu.pack_planes_jnp(x4)
+    got2 = np.asarray(ntt_mxu.ntt_forward_mxu_packed(plan, x2))
+    got4 = np.asarray(ntt_mxu.unpack_planes_jnp(jnp.asarray(got2)))
+    want = poly.ntt_forward(data, P, _omega(m))
+    for r in range(2):
+        assert [int(v) for v in from_limbs(got4[:, r])] == want
+
+
+def test_mxu_packed_roundtrip_inverse():
+    """packed forward then packed inverse (scale folded in twiddle) == id."""
+    m = 256
+    fwd = ntt_mxu.mxu_ntt_plan(m)
+    inv = ntt_mxu.mxu_intt_plan(m)
+    rng = random.Random(12)
+    data = [rng.randrange(P) for _ in range(m)]
+    x4 = jnp.asarray(to_limbs(np.array([data] * 2, dtype=object), 4))
+    x2 = ntt_mxu.pack_planes_jnp(x4)
+    f2 = ntt_mxu.ntt_forward_mxu_packed(fwd, x2)
+    b2 = np.asarray(ntt_mxu.ntt_forward_mxu_packed(inv, f2))
+    b4 = np.asarray(ntt_mxu.unpack_planes_jnp(jnp.asarray(b2)))
+    for r in range(2):
+        assert [int(v) for v in from_limbs(b4[:, r])] == data
+
+
+def test_pack_unpack_roundtrip():
+    rng = random.Random(3)
+    vals = [rng.randrange(P) for _ in range(256)] + [0, 1, P - 1]
+    x4 = jnp.asarray(to_limbs(np.array([vals], dtype=object), 4))
+    back = np.asarray(ntt_mxu.unpack_planes_jnp(ntt_mxu.pack_planes_jnp(x4)))
+    assert (back == np.asarray(x4)).all()
+
+
 def test_mxu_boundary_values():
     b = 16
     plan = ntt_mxu.DftMatmulPlan.create(b, _omega(b))
