@@ -3,7 +3,10 @@
 
 PY ?= python3
 
-.PHONY: test test-fast native bench dudect docs lint clean
+.PHONY: test test-fast native bench dudect docs lint clean fuzz
+
+fuzz:
+	$(PY) -m lambda_snark_tpu fuzz --iterations 20000
 
 test:
 	$(PY) -m pytest tests/ -q

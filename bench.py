@@ -65,18 +65,22 @@ def bench_ntt(m_log2: int = 20, batch: int = 1, iters: int = 10):
     m = 1 << m_log2
     q = NTT_MODULUS
     omega = field.mod_pow(NTT_PRIMITIVE_ROOT, (1 << 32) // m, q)
-    # production path: fused-Pallas MXU leaves (buckets + recombination in
-    # VMEM) — measured 487 us vs 1225 us for the butterfly four-step at
-    # m=2^20, same-run comparison (scripts/exp_mxu_fused.py)
+    # production path: packed fused-Pallas MXU pipeline — elements as
+    # 2 uint32 words (half the HBM bytes of digit planes), subdigit
+    # extraction + MXU bucket matmuls + recombination + twiddles all inside
+    # the leaf kernels. Same-run m=2^20 comparison (scripts/exp_mxu_fused.py,
+    # bit-exactness checked on device): packed 322 us, fused digit-plane
+    # 713 us, butterfly four-step 1225 us.
     plan = ntt_mxu.mxu_ntt_plan(m, omega)
     ctx = modulus_ctx(q)
     rng = np.random.default_rng(0)
     top = ctx.q_digits[-1]
-    x = jnp.asarray(_rand_planes(rng, ctx.d, batch, m, top))
+    x4 = jnp.asarray(_rand_planes(rng, ctx.d, batch, m, top))
+    x = jax.jit(ntt_mxu.pack_planes_jnp)(x4)
 
     t0 = time.time()
     per_transform = measure_marginal(
-        lambda v: ntt_mxu._apply(plan, v, True), x, k_large=129,
+        lambda v: ntt_mxu._apply_packed(plan, v), x, k_large=129,
         iters=max(iters, 8)
     )
     compile_s = time.time() - t0

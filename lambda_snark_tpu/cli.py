@@ -44,26 +44,49 @@ def _default_params(q: int, n: int = 4096, k: int = 2, sigma: float = 3.19) -> P
     return Params(SecurityLevel.BITS128, Profile.ring_b(n=n, k=k, q=q, sigma=sigma))
 
 
+_MAX_CIRCUIT_DIM = 1 << 26  # allocation guard for untrusted circuit files
+
+
 def _load_circuit(path: str) -> R1CS:
-    with open(path) as f:
-        data = json.load(f)
-    q = data.get("modulus", DEFAULT_MODULUS)
-    m, n, l = data["m"], data["n"], data.get("l", 1)
-    mats = {}
-    if "constraints" in data:
-        for side in "ABC":
-            entries = {}
-            for con in data["constraints"]:
-                for e in con.get(side, []):
-                    entries[(e["row"], e["col"])] = int(e["value"]) % q
-            mats[side] = SparseMatrix.from_map(m, n, entries)
-    else:
-        for side in "ABC":
-            entries = {
-                (e["row"], e["col"]): int(e["value"]) % q for e in data[side.lower()]
-            }
-            mats[side] = SparseMatrix.from_map(m, n, entries)
-    return R1CS(m=m, n=n, l=l, a=mats["A"], b=mats["B"], c=mats["C"], modulus=q)
+    """Parse a circuit JSON file; malformed input raises InvalidInputError
+    (typed, never a raw KeyError/TypeError — the file is untrusted)."""
+    from .core.errors import InvalidInputError, LambdaSnarkError
+
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        if not isinstance(data, dict):
+            raise InvalidInputError("circuit file must be a JSON object")
+        q = int(data.get("modulus", DEFAULT_MODULUS))
+        m, n, l = int(data["m"]), int(data["n"]), int(data.get("l", 1))
+        if not (0 < m <= _MAX_CIRCUIT_DIM and 0 < n <= _MAX_CIRCUIT_DIM):
+            raise InvalidInputError(f"circuit dims out of range: m={m} n={n}")
+        if q < 2:
+            raise InvalidInputError(f"modulus out of range: {q}")
+        mats = {}
+        if "constraints" in data:
+            for side in "ABC":
+                entries = {}
+                for con in data["constraints"]:
+                    for e in con.get(side, []):
+                        entries[(int(e["row"]), int(e["col"]))] = (
+                            int(e["value"]) % q
+                        )
+                mats[side] = SparseMatrix.from_map(m, n, entries)
+        else:
+            for side in "ABC":
+                entries = {
+                    (int(e["row"]), int(e["col"])): int(e["value"]) % q
+                    for e in data[side.lower()]
+                }
+                mats[side] = SparseMatrix.from_map(m, n, entries)
+        return R1CS(m=m, n=n, l=l, a=mats["A"], b=mats["B"], c=mats["C"],
+                    modulus=q)
+    except LambdaSnarkError:
+        raise
+    except (KeyError, TypeError, ValueError, AttributeError,
+            json.JSONDecodeError) as e:
+        raise InvalidInputError(f"malformed circuit file: {e!r}") from e
 
 
 def _load_witness(path: str) -> List[int]:
@@ -373,6 +396,17 @@ def cmd_dudect(args) -> int:
     return 0
 
 
+def cmd_fuzz(args) -> int:
+    """Deterministic fuzz campaign over deserializers, circuit parser and
+    verifier (the reference's pending cargo-fuzz ``fuzz_verify`` target,
+    implemented)."""
+    from .utils.fuzz import run_all
+
+    ok = run_all(iterations=args.iterations, seed=args.seed)
+    print("fuzz: OK" if ok else "fuzz: CRASHES FOUND")
+    return 0 if ok else 1
+
+
 def cmd_validate_params(args) -> int:
     from .lean.params_io import SecurityParams, validate_params
 
@@ -456,6 +490,11 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--out", default="artifacts/dudect")
     dd.add_argument("--samples", type=int, default=3000)
     dd.set_defaults(fn=cmd_dudect)
+
+    fz = sub.add_parser("fuzz", help="fuzz deserializers/parser/verifier")
+    fz.add_argument("--iterations", type=int, default=2000)
+    fz.add_argument("--seed", type=lambda s: int(s, 0), default=0)
+    fz.set_defaults(fn=cmd_fuzz)
 
     vp = sub.add_parser("validate-params", help="validate a Lean params record")
     vp.add_argument("--lean", required=True)

@@ -112,8 +112,7 @@ class CompactProofR1CS:
         digest = r.bytes_(32)
         ch_a = Challenge.from_bytes(r.bytes_(40))
         ch_b = Challenge.from_bytes(r.bytes_(40))
-        evals = struct.unpack_from("<8Q", r.data, r.off)
-        r.off += 64
+        evals = struct.unpack("<8Q", r.bytes_(64))
         blinding = r.u64() if kind == _KIND_COMPACT_ZK else None
         return CompactProofR1CS(
             commitment_digest=digest,

@@ -44,11 +44,15 @@ class _Reader:
         self.off = 0
 
     def u64(self) -> int:
+        if self.off + 8 > len(self.data):
+            raise SerializationError("truncated proof data (u64)")
         (v,) = struct.unpack_from("<Q", self.data, self.off)
         self.off += 8
         return v
 
     def u8(self) -> int:
+        if self.off >= len(self.data):
+            raise SerializationError("truncated proof data (u8)")
         v = self.data[self.off]
         self.off += 1
         return v
@@ -160,8 +164,7 @@ class ProofR1CS:
         comm = Commitment(np.array(r.words(), dtype=np.uint64))
         ch_a = Challenge.from_bytes(r.bytes_(40))
         ch_b = Challenge.from_bytes(r.bytes_(40))
-        evals = struct.unpack_from("<8Q", r.data, r.off)
-        r.off += 64
+        evals = struct.unpack("<8Q", r.bytes_(64))
         op_a = EvalOpening.read(r)
         op_b = EvalOpening.read(r)
         return ProofR1CS(
@@ -231,8 +234,7 @@ class ProofR1csZk:
         blinding = r.u64()
         ch_a = Challenge.from_bytes(r.bytes_(40))
         ch_b = Challenge.from_bytes(r.bytes_(40))
-        evals = struct.unpack_from("<8Q", r.data, r.off)
-        r.off += 64
+        evals = struct.unpack("<8Q", r.bytes_(64))
         op_a = EvalOpening.read(r)
         op_b = EvalOpening.read(r)
         return ProofR1csZk(
