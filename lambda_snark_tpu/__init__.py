@@ -59,7 +59,7 @@ from .r1cs.domain import Domain
 from .r1cs.r1cs import R1CS
 from .r1cs.sparse import SparseMatrix
 from .transcript.challenge import Challenge, derive_dual
-from .prover_batched import prove_r1cs_batched
+from .prover_batched import prove_r1cs_batched, prove_r1cs_stream
 from .verifier import (
     verify_r1cs,
     verify_r1cs_with_context,
@@ -107,6 +107,7 @@ __all__ = [
     "linear_combine",
     "prove_r1cs",
     "prove_r1cs_batched",
+    "prove_r1cs_stream",
     "prove_r1cs_compact",
     "prove_r1cs_zk",
     "prove_simple",

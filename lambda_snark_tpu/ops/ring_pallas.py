@@ -41,56 +41,57 @@ _CTX = modulus_ctx(P)
 _D = 4
 
 
-def _pow_table(base: int, count: int, scale: int = 1) -> np.ndarray:
+def _pow_table(base: int, count: int, scale: int = 1,
+               q: int = P, d: int = _D) -> np.ndarray:
     vals = np.empty(count, dtype=object)
-    acc = scale % P
+    acc = scale % q
     for i in range(count):
         vals[i] = acc
-        acc = field.mul_mod(acc, base, P)
-    return to_limbs(vals, _D)
+        acc = field.mul_mod(acc, base, q)
+    return to_limbs(vals, d)
 
 
-def _dif_stage_tables(n: int, omega: int) -> np.ndarray:
+def _dif_stage_tables(n: int, omega: int, q: int = P, d: int = _D) -> np.ndarray:
     """(log_n, D, n) DIF twiddles: stage with span 2*half applies
     w_vec[idx] = omega^((idx mod half) * (n / (2 half)))."""
     log_n = n.bit_length() - 1
-    out = np.empty((log_n, _D, n), dtype=np.uint32)
+    out = np.empty((log_n, d, n), dtype=np.uint32)
     idx_stage = 0
     half = n >> 1
     while half >= 1:
-        wm = field.mod_pow(omega, n // (2 * half), P)
+        wm = field.mod_pow(omega, n // (2 * half), q)
         pows = np.empty(half, dtype=object)
         acc = 1
         for j in range(half):
             pows[j] = acc
-            acc = field.mul_mod(acc, wm, P)
+            acc = field.mul_mod(acc, wm, q)
         full = np.empty(n, dtype=object)
         for idx in range(n):
             full[idx] = pows[idx & (half - 1)]
-        out[idx_stage] = to_limbs(full, _D)
+        out[idx_stage] = to_limbs(full, d)
         idx_stage += 1
         half >>= 1
     return out
 
 
-def _dit_stage_tables(n: int, omega: int) -> np.ndarray:
+def _dit_stage_tables(n: int, omega: int, q: int = P, d: int = _D) -> np.ndarray:
     """(log_n, D, n) DIT twiddles (the ntt_pallas layout): stage s (half =
     2^s) applies w_vec[idx] = omega^((idx mod half) * (n / 2^(s+1)))."""
     log_n = n.bit_length() - 1
-    out = np.empty((log_n, _D, n), dtype=np.uint32)
+    out = np.empty((log_n, d, n), dtype=np.uint32)
     for s in range(log_n):
         half = 1 << s
         span = half << 1
-        wm = field.mod_pow(omega, n // span, P)
+        wm = field.mod_pow(omega, n // span, q)
         pows = np.empty(half, dtype=object)
         acc = 1
         for j in range(half):
             pows[j] = acc
-            acc = field.mul_mod(acc, wm, P)
+            acc = field.mul_mod(acc, wm, q)
         full = np.empty(n, dtype=object)
         for idx in range(n):
             full[idx] = pows[idx & (half - 1)]
-        out[s] = to_limbs(full, _D)
+        out[s] = to_limbs(full, d)
     return out
 
 

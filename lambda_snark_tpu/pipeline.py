@@ -71,24 +71,42 @@ def field_plan_for(m: int, q: int) -> NttPlan:
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class ProvePlan:
-    """Static plan for the batched device prove stage."""
+    """Static plan for the batched device prove stage.
+
+    ``fused=True`` (default) routes the quotient chain through the
+    single-kernel Pallas path (``ops.quotient_pallas``) — bit-exact with
+    the XLA stage pipeline, one VMEM-resident kernel per batch tile.
+    """
 
     m: int
     q: int
     plan: NttPlan
     dctx: DeviceCommitContext
     neg_half_inv_digits: tuple  # digits of (-2)^{-1} mod q
+    qplan: object = None  # ops.quotient_pallas.QuotientPlan
+    fused: bool = True
 
     @staticmethod
-    def create(m: int, q: int, dctx: DeviceCommitContext) -> "ProvePlan":
+    def create(m: int, q: int, dctx: DeviceCommitContext,
+               fused: bool = True) -> "ProvePlan":
+        from .ops.quotient_pallas import QuotientPlan
+
         plan = field_plan_for(m, q)
         inv = field.mod_inverse(q - 2, q)  # (-2)^{-1}
+        if q == NTT_FRIENDLY_MODULUS:
+            psi = ROOTS_OF_UNITY_45BIT[2 * m]
+        else:
+            from .core.params import NTT_PRIMITIVE_ROOT
+
+            psi = field.mod_pow(NTT_PRIMITIVE_ROOT, (1 << 32) // (2 * m), q)
         return ProvePlan(
             m=m,
             q=q,
             plan=plan,
             dctx=dctx,
             neg_half_inv_digits=tuple(int_to_digits(inv, plan.ctx.d)),
+            qplan=QuotientPlan.create(m, q, psi),
+            fused=fused,
         )
 
 
@@ -98,6 +116,20 @@ def quotient_batch(pp: ProvePlan, a_evals, b_evals, c_evals):
     Also returns the interpolated constraint polynomials (the prover needs
     their evaluations at alpha/beta; reference ``lib.rs:769-785``).
     """
+    # Same-process TPU sweep (scripts/exp_prove_batch.py, m=4096): the fused
+    # Pallas chain wins at large batches (34.4k vs 28.8k proofs/s at B=256)
+    # but loses to XLA's pipeline at small ones (20.7k vs 31.0k at B=16) —
+    # grid tiles run sequentially on the single TensorCore, so small batches
+    # can't hide the serialized butterfly chain. Route by batch (static at
+    # trace time).
+    if (
+        getattr(pp, "fused", False)
+        and pp.qplan is not None
+        and a_evals.shape[1] >= 64
+    ):
+        from .ops.quotient_pallas import quotient_batch_fused
+
+        return quotient_batch_fused(pp.qplan, a_evals, b_evals, c_evals)
     ctx = pp.plan.ctx
     # interpolate to coefficients
     a_poly = ntt_inverse(pp.plan, a_evals)

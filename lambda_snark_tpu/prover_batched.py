@@ -103,9 +103,128 @@ def prove_r1cs_batched(
         q_pl, a_pl, b_pl, c_pl, comm_pl, valid = prove_stage_batch_jit(
             pp, a_e, b_e, c_e, key
         )
+    return _assemble_proofs(
+        r1cs, witnesses, (q_pl, a_pl, b_pl, c_pl, comm_pl, valid),
+        zk=zk, blinding=blinding,
+    )
+
+
+def prove_r1cs_stream(
+    r1cs: R1CS,
+    witness_iter,
+    ctx: LweContext,
+    seed: int,
+    batch: int = 16,
+    zk: bool = False,
+    blinding_seed: Optional[int] = None,
+    store=None,
+):
+    """Streamed batched proving with host/device overlap (double buffering).
+
+    Yields proofs in witness order. JAX dispatch is asynchronous, so while
+    the device runs batch k, the host does SpMV + limb packing for batch
+    k+1 and transcript hashing / assembly for batch k-1 — the three stages
+    of ``prove_r1cs_batched`` pipelined with no extra machinery (the
+    materializing ``np.asarray`` in assembly is the only sync point).
+
+    ``store``: optional ``utils.artifacts.ProofStore`` — each finished proof
+    is persisted as it is yielded, making the store the resume log for a
+    proof service (restart skips statements it already holds).
+
+    Every batch is seeded independently (fold of the master seed and batch
+    index), so a resumed stream regenerates identical proofs.
+    """
+    if r1cs.domain.kind != "roots":
+        raise DomainError(
+            "batched device proving requires a roots (NTT) domain; "
+            f"got {r1cs.domain.kind} for q={r1cs.modulus}, m={r1cs.m}"
+        )
+    if r1cs.m > ctx.n or (zk and r1cs.m + 1 > ctx.n):
+        raise DomainError(
+            f"quotient length (m={r1cs.m}{'+1 for ZK' if zk else ''}) "
+            f"exceeds ring degree {ctx.n}"
+        )
+    q = r1cs.modulus
+    pp = _prove_plan(r1cs, ctx)
+    d = pp.plan.ctx.d
+
+    def batches():
+        buf = []
+        for w in witness_iter:
+            buf.append(w)
+            if len(buf) == batch:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    def dispatch(ws, batch_idx):
+        """Host SpMV + async device dispatch for one batch."""
+        evs = [r1cs.compute_constraint_evals(w) for w in ws]
+
+        def stack(idx):
+            arr = np.array([e[idx] for e in evs], dtype=object)
+            return jnp.asarray(to_limbs(arr, d))
+
+        a_e, b_e, c_e = stack(0), stack(1), stack(2)
+        batch_seed = (seed ^ (0x9E3779B97F4A7C15 * (batch_idx + 1))) & (
+            (1 << 63) - 1
+        )
+        key = jax.random.PRNGKey(batch_seed & 0x7FFFFFFF)
+        blinding = None
+        if zk:
+            rng = ChaCha20Rng.from_u64(
+                (blinding_seed if blinding_seed is not None else seed)
+                ^ batch_idx
+            )
+            blinding = [rng.next_u64() % q for _ in range(len(ws))]
+            blind_planes = jnp.asarray(
+                to_limbs(np.array(blinding, dtype=object), d)
+            )
+            out = prove_stage_batch_zk_jit(pp, a_e, b_e, c_e, blind_planes, key)
+        else:
+            out = prove_stage_batch_jit(pp, a_e, b_e, c_e, key)
+        return out, blinding
+
+    prev = None  # (witnesses, device_out, blinding, offset)
+    offset = 0
+    for batch_idx, ws in enumerate(batches()):
+        out, blinding = dispatch(ws, batch_idx)  # async: device starts now
+        if prev is not None:
+            for proof in _emit(r1cs, prev, zk, store, seed):
+                yield proof
+        prev = (ws, out, blinding, offset)
+        offset += len(ws)
+    if prev is not None:
+        for proof in _emit(r1cs, prev, zk, store, seed):
+            yield proof
+
+
+def _emit(r1cs, staged, zk, store, seed):
+    ws, out, blinding, offset = staged
+    proofs = _assemble_proofs(
+        r1cs, ws, out, zk=zk, blinding=blinding, batch_offset=offset
+    )
+    for i, (w, proof) in enumerate(zip(ws, proofs)):
+        if store is not None:
+            store.save(
+                r1cs, r1cs.public_inputs(w), seed, proof,
+                label=f"stream-{offset + i}",
+            )
+        yield proof
+
+
+def _assemble_proofs(r1cs, witnesses, device_out, zk, blinding,
+                     batch_offset: int = 0):
+    """Host side: pull device results, derive transcripts, build proofs.
+
+    ``batch_offset`` labels error messages for streamed proving.
+    """
+    q = r1cs.modulus
+    q_pl, a_pl, b_pl, c_pl, comm_pl, valid = device_out
     valid = np.asarray(valid)
     if not valid.all():
-        bad = [i for i, v in enumerate(valid) if not v]
+        bad = [batch_offset + i for i, v in enumerate(valid) if not v]
         raise InvalidWitnessError(f"witnesses {bad} do not satisfy the R1CS")
 
     q_host = from_limbs(np.asarray(q_pl))  # (B, m) object ints
@@ -115,7 +234,7 @@ def prove_r1cs_batched(
     comm_words = from_limbs_u64(np.asarray(comm_pl))  # (B, n) uint64
 
     proofs = []
-    for i in range(b):
+    for i in range(len(witnesses)):
         commitment = Commitment(comm_words[i])
         words = commitment.as_words()
         public_inputs = r1cs.public_inputs(witnesses[i])
