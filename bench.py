@@ -278,6 +278,29 @@ def bench_proofs_per_sec():
         out["device_proofs_per_sec_production"] = b2 / per2
     except Exception as e:  # noqa: BLE001
         out["production_error"] = f"{type(e).__name__}: {e}"[:200]
+    # high-throughput shape: batch 256 routes through the MXU quotient
+    # kernel (int8 systolic-array DFT leaves; ops/ntt_mxu_q45.py)
+    try:
+        b3 = 256
+        def planes3():
+            pl_ = rng.integers(0, 1 << 16, size=(3, b3, m2), dtype=np.uint32)
+            pl_[2] %= ctxq.q_digits[-1]
+            return jnp.asarray(pl_)
+
+        a3, b3_ = planes3(), planes3()
+        c3 = jax.jit(lambda a, b: modarith.mul_mod(ctxq, a, b))(a3, b3_)
+
+        def step3(carry):
+            a, b, c = carry
+            q_pl, a_pl, b_pl, _c, comm, _v = prove_stage_batch(pp2, a, b, c, key)
+            mixed = modarith.add_mod(ctxq, q_pl, comm[:3, :, :m2])
+            return (mixed, a_pl, b_pl)
+
+        per3 = measure_marginal(step3, (a3, b3_, c3), k_large=5, iters=4)
+        out["prove_stage_m4096_n4096_batch256_s"] = per3
+        out["device_proofs_per_sec_production_b256"] = b3 / per3
+    except Exception as e:  # noqa: BLE001
+        out["production_b256_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 

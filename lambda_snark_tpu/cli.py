@@ -331,7 +331,8 @@ def cmd_prove(args) -> int:
         with open(args.out + ".witness-binding", "wb") as f:
             f.write(binding.to_bytes())
     else:
-        proof = prove_r1cs(r1cs, witness, ctx, seed=args.seed)
+        proof = prove_r1cs(r1cs, witness, ctx, seed=args.seed,
+                           bind_circuit=getattr(args, "bind_circuit", False))
     elapsed = (time.time() - t0) * 1e3
     data = proof.to_bytes()
     with open(args.out, "wb") as f:
@@ -465,6 +466,9 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--compact", action="store_true",
                     help="193/201-byte digest-bound proof")
     pv.add_argument("--blinding-seed", type=lambda s: int(s, 0), default=None)
+    pv.add_argument("--bind-circuit", action="store_true",
+                    help="v3 transcript: hash the circuit digest into the "
+                         "challenges (closes v1 cross-circuit malleability)")
     pv.add_argument("--phase2", action="store_true",
                     help="attach the committed-witness lincheck/mulcheck "
                          "binding (non-ZK; writes <out>.witness-binding)")

@@ -84,6 +84,7 @@ class ProvePlan:
     dctx: DeviceCommitContext
     neg_half_inv_digits: tuple  # digits of (-2)^{-1} mod q
     qplan: object = None  # ops.quotient_pallas.QuotientPlan
+    qplan_mxu: object = None  # ops.ntt_mxu_q45.Q45QuotientPlan (q45 only)
     fused: bool = True
 
     @staticmethod
@@ -99,6 +100,11 @@ class ProvePlan:
             from .core.params import NTT_PRIMITIVE_ROOT
 
             psi = field.mod_pow(NTT_PRIMITIVE_ROOT, (1 << 32) // (2 * m), q)
+        qplan_mxu = None
+        if q == NTT_FRIENDLY_MODULUS and m >= 4:
+            from .ops.ntt_mxu_q45 import q45_quotient_plan
+
+            qplan_mxu = q45_quotient_plan(m, psi)
         return ProvePlan(
             m=m,
             q=q,
@@ -106,6 +112,7 @@ class ProvePlan:
             dctx=dctx,
             neg_half_inv_digits=tuple(int_to_digits(inv, plan.ctx.d)),
             qplan=QuotientPlan.create(m, q, psi),
+            qplan_mxu=qplan_mxu,
             fused=fused,
         )
 
@@ -116,20 +123,25 @@ def quotient_batch(pp: ProvePlan, a_evals, b_evals, c_evals):
     Also returns the interpolated constraint polynomials (the prover needs
     their evaluations at alpha/beta; reference ``lib.rs:769-785``).
     """
-    # Same-process TPU sweep (scripts/exp_prove_batch.py, m=4096): the fused
-    # Pallas chain wins at large batches (34.4k vs 28.8k proofs/s at B=256)
-    # but loses to XLA's pipeline at small ones (20.7k vs 31.0k at B=16) —
-    # grid tiles run sequentially on the single TensorCore, so small batches
-    # can't hide the serialized butterfly chain. Route by batch (static at
-    # trace time).
-    if (
-        getattr(pp, "fused", False)
-        and pp.qplan is not None
-        and a_evals.shape[1] >= 64
-    ):
-        from .ops.quotient_pallas import quotient_batch_fused
+    # Kernel routing, same-process TPU measurements at m=4096
+    # (scripts/exp_prove_batch.py, exp_prove_parts.py):
+    # - q45 MXU quotient (int8 systolic-array DFT leaves, Solinas
+    #   recombination in VMEM): 2.51 ms/batch at B=256 vs 4.86 ms for the
+    #   Pallas butterfly chain and 5.39 ms for XLA — preferred at B >= 64.
+    # - The Pallas butterfly chain wins over XLA only at large batches
+    #   (34.4k vs 28.8k proofs/s at B=256) and loses at small ones (20.7k
+    #   vs 31.0k at B=16): grid tiles run sequentially on the single
+    #   TensorCore. XLA keeps small batches. Routing is static at trace
+    #   time (batch is a static shape).
+    if getattr(pp, "fused", False) and a_evals.shape[1] >= 64:
+        if getattr(pp, "qplan_mxu", None) is not None:
+            from .ops.ntt_mxu_q45 import quotient_batch_mxu
 
-        return quotient_batch_fused(pp.qplan, a_evals, b_evals, c_evals)
+            return quotient_batch_mxu(pp.qplan_mxu, a_evals, b_evals, c_evals)
+        if pp.qplan is not None:
+            from .ops.quotient_pallas import quotient_batch_fused
+
+            return quotient_batch_fused(pp.qplan, a_evals, b_evals, c_evals)
     ctx = pp.plan.ctx
     # interpolate to coefficients
     a_poly = ntt_inverse(pp.plan, a_evals)

@@ -29,6 +29,7 @@ _MAGIC = b"LSNKTPU1"
 _KIND_SIMPLE = 1
 _KIND_R1CS = 2
 _KIND_R1CS_ZK = 3
+_KIND_R1CS_V3 = 6  # v1 body, circuit-digest-bound transcript
 
 
 def _pack_words(words) -> bytes:
@@ -137,6 +138,7 @@ class ProofR1CS:
     opening_alpha: EvalOpening
     opening_beta: EvalOpening
     modulus: int
+    transcript_v: int = 1  # 1 = reference parity; 3 = circuit-digest-bound
 
     def _evals(self):
         return (
@@ -155,11 +157,14 @@ class ProofR1CS:
         body += self.challenge_alpha.to_bytes() + self.challenge_beta.to_bytes()
         body += struct.pack("<8Q", *self._evals())
         body += self.opening_alpha.to_bytes() + self.opening_beta.to_bytes()
-        return _MAGIC + bytes([_KIND_R1CS]) + struct.pack("<Q", self.modulus) + body
+        kind = _KIND_R1CS_V3 if self.transcript_v == 3 else _KIND_R1CS
+        return _MAGIC + bytes([kind]) + struct.pack("<Q", self.modulus) + body
 
     @staticmethod
     def from_bytes(data: bytes) -> "ProofR1CS":
-        r = _header(data, _KIND_R1CS)
+        kind = data[8] if len(data) > 8 else _KIND_R1CS
+        r = _header(data, kind if kind in (_KIND_R1CS, _KIND_R1CS_V3)
+                    else _KIND_R1CS)
         modulus = r.u64()
         comm = Commitment(np.array(r.words(), dtype=np.uint64))
         ch_a = Challenge.from_bytes(r.bytes_(40))
@@ -182,6 +187,7 @@ class ProofR1CS:
             opening_alpha=op_a,
             opening_beta=op_b,
             modulus=modulus,
+            transcript_v=3 if kind == _KIND_R1CS_V3 else 1,
         )
 
 
@@ -273,7 +279,7 @@ def deserialize_any(data: bytes):
     kind = data[8]
     if kind == _KIND_SIMPLE:
         return Proof.from_bytes(data)
-    if kind == _KIND_R1CS:
+    if kind in (_KIND_R1CS, _KIND_R1CS_V3):
         return ProofR1CS.from_bytes(data)
     if kind == _KIND_R1CS_ZK:
         return ProofR1csZk.from_bytes(data)

@@ -104,6 +104,7 @@ def prove_r1cs(
     ctx: lwe.LweContext,
     seed: int,
     with_opening: bool = False,
+    bind_circuit: bool = False,
 ) -> ProofR1CS:
     """Two-challenge R1CS proof.
 
@@ -113,6 +114,10 @@ def prove_r1cs(
     ``verifier.verify_r1cs_with_context`` — the check the reference left
     as ignored tests ("LWE binding not yet real", SURVEY section 4.1).
     Non-ZK only: the opening reveals Q.
+
+    ``bind_circuit=True`` produces a v3 transcript hashing the circuit
+    digest into the challenges (wire kind 6), closing the v1 cross-circuit
+    malleability; the default stays v1 for reference parity.
     """
     q = r1cs.modulus
     # 1. quotient polynomial (validates the witness)
@@ -122,7 +127,16 @@ def prove_r1cs(
     comm_words = commitment_q.as_words()
     # 3-4. dual Fiat-Shamir challenges
     public_inputs = r1cs.public_inputs(witness)
-    ch_alpha, ch_beta = derive_dual(public_inputs, comm_words, q)
+    if bind_circuit:
+        from .transcript.challenge import derive_dual_v3
+        from .utils.artifacts import circuit_digest
+
+        ch_alpha, ch_beta = derive_dual_v3(
+            public_inputs, comm_words, q,
+            bytes.fromhex(circuit_digest(r1cs)),
+        )
+    else:
+        ch_alpha, ch_beta = derive_dual(public_inputs, comm_words, q)
     alpha, beta = ch_alpha.alpha, ch_beta.alpha
     # 5. interpolate once, reuse for both evaluation points
     a_poly, b_poly, c_poly = r1cs.interpolations(witness)
@@ -145,6 +159,7 @@ def prove_r1cs(
         opening_alpha=EvalOpening(evaluation=q_alpha, witness=opening_witness),
         opening_beta=EvalOpening(evaluation=q_beta, witness=opening_witness),
         modulus=q,
+        transcript_v=3 if bind_circuit else 1,
     )
 
 

@@ -69,3 +69,23 @@ def derive_dual(
     ch_alpha = Challenge.derive(public_inputs, commitment_words, modulus)
     ch_beta = Challenge.derive([ch_alpha.alpha], commitment_words, modulus)
     return ch_alpha, ch_beta
+
+
+def derive_dual_v3(
+    public_inputs: Sequence[int],
+    commitment_words: Sequence[int],
+    modulus: int,
+    circuit_digest: bytes,
+):
+    """v3 full-proof transcript: the circuit digest is hashed alongside the
+    commitment words, closing the v1 cross-circuit malleability (the
+    reference verifier never hashes A/B/C — SECURITY.md). Same byte layout
+    as v1 with four LE u64 digest words appended to the commitment words.
+    """
+    words = list(commitment_words) + [
+        int.from_bytes(circuit_digest[i:i + 8], "little")
+        for i in range(0, 32, 8)
+    ]
+    ch_alpha = Challenge.derive(public_inputs, words, modulus)
+    ch_beta = Challenge.derive([ch_alpha.alpha], words, modulus)
+    return ch_alpha, ch_beta

@@ -43,7 +43,22 @@ def verify_simple(proof: Proof, public_inputs: Sequence[int], modulus: int) -> b
 def verify_r1cs(proof: ProofR1CS, public_inputs: Sequence[int], r1cs: R1CS) -> bool:
     q = r1cs.modulus
     comm_words = proof.commitment_q.as_words()
-    # 1-2. challenge alpha consistency
+    # 1-2. challenge alpha consistency (v3 transcripts bind the circuit
+    # digest — proofs carry their version in the wire kind byte)
+    if getattr(proof, "transcript_v", 1) == 3:
+        from .transcript.challenge import derive_dual_v3
+        from .utils.artifacts import circuit_digest
+
+        ch_alpha, ch_beta_pre = derive_dual_v3(
+            public_inputs, comm_words, q, bytes.fromhex(circuit_digest(r1cs))
+        )
+        if proof.challenge_alpha.alpha != ch_alpha.alpha:
+            return False
+        alpha = proof.challenge_alpha.alpha
+        if proof.challenge_beta.alpha != ch_beta_pre.alpha:
+            return False
+        beta = proof.challenge_beta.alpha
+        return _verify_r1cs_equations(proof, r1cs, alpha, beta)
     ch_alpha = Challenge.derive(public_inputs, comm_words, q)
     if proof.challenge_alpha.alpha != ch_alpha.alpha:
         return False
@@ -53,6 +68,12 @@ def verify_r1cs(proof: ProofR1CS, public_inputs: Sequence[int], r1cs: R1CS) -> b
     if proof.challenge_beta.alpha != ch_beta.alpha:
         return False
     beta = proof.challenge_beta.alpha
+    return _verify_r1cs_equations(proof, r1cs, alpha, beta)
+
+
+def _verify_r1cs_equations(proof: ProofR1CS, r1cs: R1CS,
+                           alpha: int, beta: int) -> bool:
+    q = r1cs.modulus
     # 5-6. vanishing evaluations (domain-aware)
     zh_alpha = r1cs.eval_vanishing(alpha)
     zh_beta = r1cs.eval_vanishing(beta)

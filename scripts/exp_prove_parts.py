@@ -69,6 +69,30 @@ def main():
         qc, ap, bp, cp, _v = quotient_batch(pp, a, b, c)
         return (qc, ap, bp)
 
+    from lambda_snark_tpu.core.params import ROOTS_OF_UNITY_45BIT
+    from lambda_snark_tpu.ops.ntt_mxu_q45 import (
+        q45_quotient_plan, quotient_batch_mxu,
+    )
+
+    qp_mxu = q45_quotient_plan(m, ROOTS_OF_UNITY_45BIT[2 * m])
+
+    def q_mxu(carry):
+        a, b, c = carry
+        qc, ap, bp, cp, _v = quotient_batch_mxu(qp_mxu, a, b, c)
+        return (qc, ap, bp)
+
+    # on-device bit-exactness at production shape
+    want = [np.asarray(t) for t in jax.jit(
+        lambda a, b, c: quotient_batch(pp, a, b, c)[:4]
+    )(a_e, b_e, c_e)]
+    got = [np.asarray(t) for t in jax.jit(
+        lambda a, b, c: quotient_batch_mxu(qp_mxu, a, b, c)[:4]
+    )(a_e, b_e, c_e)]
+    ok = all((w == g).all() for w, g in zip(want, got))
+    out["mxu_quotient_bitexact"] = bool(ok)
+    print(f"# mxu quotient bit-exact: {ok}", flush=True)
+
+    run("quotient_mxu", q_mxu, (a_e, b_e, c_e))
     run("quotient_fused", q_fused, (a_e, b_e, c_e))
     run("quotient_xla", q_xla, (a_e, b_e, c_e))
 

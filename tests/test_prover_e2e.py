@@ -234,3 +234,49 @@ def test_tv_witness_values(tv_dir):
     assert tv0.witness != tv0.raw_json_witness
     assert tv0.r1cs.is_satisfied(tv0.witness)
     assert not tv0.r1cs.is_satisfied(tv0.raw_json_witness)
+
+
+# --- v3 circuit-bound transcript ---------------------------------------------
+
+
+def test_v3_roundtrip_and_kind_byte(ctx):
+    r1cs = mult_gate_r1cs()
+    witness = [1, 7, 13, 91]
+    public = r1cs.public_inputs(witness)
+    proof = prove_r1cs(r1cs, witness, ctx, seed=3, bind_circuit=True)
+    assert proof.transcript_v == 3
+    assert verify_r1cs(proof, public, r1cs)
+    data = proof.to_bytes()
+    assert data[8] == 6  # v3 wire kind
+    back = deserialize_any(data)
+    assert back.transcript_v == 3
+    assert verify_r1cs(back, public, r1cs)
+
+
+def test_v3_rejects_cross_circuit_swap(ctx):
+    """The v1 cross-circuit malleability (reference-inherited) is closed by
+    the v3 transcript: same-shape different-matrix circuits reject."""
+    from lambda_snark_tpu import R1CS, SparseMatrix
+
+    r1cs = mult_gate_r1cs()
+    witness = [1, 7, 13, 91]
+    public = r1cs.public_inputs(witness)
+    a2 = SparseMatrix.from_dense([[0, 2, 0, 0]])
+    other = R1CS(m=1, n=4, l=2, a=a2, b=r1cs.b, c=r1cs.c, modulus=Q)
+
+    v1 = prove_r1cs(r1cs, witness, ctx, seed=3)
+    v3 = prove_r1cs(r1cs, witness, ctx, seed=3, bind_circuit=True)
+    # v1 (parity): the swap is accepted iff the proof equations still hold
+    # (documented malleability); v3 must reject via the digest binding.
+    assert verify_r1cs(v3, public, r1cs)
+    assert not verify_r1cs(v3, public, other)
+
+
+def test_v1_and_v3_challenges_differ(ctx):
+    r1cs = mult_gate_r1cs()
+    witness = [1, 7, 13, 91]
+    v1 = prove_r1cs(r1cs, witness, ctx, seed=3)
+    v3 = prove_r1cs(r1cs, witness, ctx, seed=3, bind_circuit=True)
+    assert v1.challenge_alpha.alpha != v3.challenge_alpha.alpha
+    # same commitment (same Q, same seed)
+    assert v1.commitment_q == v3.commitment_q
