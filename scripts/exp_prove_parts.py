@@ -106,6 +106,20 @@ def main():
         return c_planes[:4, :, :m]
 
     run("commit", commit_step, msg)
+
+    from lambda_snark_tpu.ops.ring_mxu import RingMxuPlan, commit_batch_mxu
+
+    rplan = RingMxuPlan.create(ctx)
+
+    def commit_mxu_step(msgp):
+        c_planes, _s, _e = commit_batch_mxu(rplan, dctx, msgp, key)
+        return c_planes[:4, :, :m]
+
+    want = np.asarray(jax.jit(commit_step)(msg))
+    got = np.asarray(jax.jit(commit_mxu_step)(msg))
+    out["commit_mxu_bitexact"] = bool((want == got).all())
+    print(f"# commit mxu bit-exact: {out['commit_mxu_bitexact']}", flush=True)
+    run("commit_mxu", commit_mxu_step, msg)
     print(json.dumps(out))
 
 
