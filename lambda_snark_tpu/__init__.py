@@ -45,6 +45,11 @@ from .proof.compact import (
     prove_r1cs_compact,
     verify_r1cs_compact,
 )
+from .proof.succinct import (
+    SuccinctProofR1CS,
+    prove_r1cs_succinct,
+    verify_r1cs_succinct,
+)
 from .proof.types import EvalOpening, Proof, ProofR1CS, ProofR1csZk, deserialize_any
 from .prover import (
     prove_r1cs,
@@ -100,6 +105,7 @@ __all__ = [
     "SecurityLevel",
     "SerializationError",
     "SparseMatrix",
+    "SuccinctProofR1CS",
     "Witness",
     "commit",
     "derive_dual",
@@ -109,6 +115,7 @@ __all__ = [
     "prove_r1cs_batched",
     "prove_r1cs_stream",
     "prove_r1cs_compact",
+    "prove_r1cs_succinct",
     "prove_r1cs_zk",
     "prove_simple",
     "prove_zk",
@@ -117,6 +124,7 @@ __all__ = [
     "verify_opening",
     "verify_r1cs",
     "verify_r1cs_compact",
+    "verify_r1cs_succinct",
     "verify_r1cs_with_context",
     "verify_r1cs_zk",
     "verify_simple",

@@ -314,7 +314,14 @@ def cmd_prove(args) -> int:
     witness = _load_witness(args.witness)
     ctx = _ctx_from_descriptor(args.context, r1cs.modulus, args.ring_degree)
     t0 = time.time()
-    if args.compact:
+    if getattr(args, "succinct", False):
+        from .proof.succinct import prove_r1cs_succinct
+
+        proof = prove_r1cs_succinct(
+            r1cs, witness, ctx, seed=args.seed, zk=args.zk,
+            blinding_seed=args.blinding_seed,
+        )
+    elif args.compact:
         from .proof.compact import prove_r1cs_compact
 
         proof = prove_r1cs_compact(
@@ -351,7 +358,11 @@ def cmd_verify(args) -> int:
     t0 = time.time()
     from .proof.compact import CompactProofR1CS, verify_r1cs_compact
 
-    if isinstance(proof, CompactProofR1CS):
+    from .proof.succinct import SuccinctProofR1CS, verify_r1cs_succinct
+
+    if isinstance(proof, SuccinctProofR1CS):
+        ok = verify_r1cs_succinct(proof, public, r1cs)
+    elif isinstance(proof, CompactProofR1CS):
         ok = verify_r1cs_compact(proof, public, r1cs)
     elif isinstance(proof, ProofR1csZk):
         ok = verify_r1cs_zk(proof, public, r1cs)
@@ -463,6 +474,10 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--witness", required=True)
     pv.add_argument("--context")
     pv.add_argument("--zk", action="store_true")
+    pv.add_argument("--succinct", action="store_true",
+                    help="FRI-bound openings: non-revealing, binding for all "
+                         "claimed evaluations (NTT fields only); combine with "
+                         "--zk for vanishing-mask hiding")
     pv.add_argument("--compact", action="store_true",
                     help="193/201-byte digest-bound proof")
     pv.add_argument("--blinding-seed", type=lambda s: int(s, 0), default=None)

@@ -1,0 +1,559 @@
+"""FRI low-degree proofs: the succinct-opening engine.
+
+The reference's evaluation openings reveal the whole polynomial
+(``opening.rs:104-115``) or are stubs (``lib.rs:788-791``, "real LWE openings
+are TODO"). This module provides the missing piece: a hash-based proximity
+test (FRI) that lets the verifier check claimed evaluations of *committed*
+polynomials without seeing them — post-quantum, transparent, and succinct in
+the circuit size.
+
+Design notes (TPU-native framing):
+
+- Codewords are Reed–Solomon extensions on a multiplicative coset
+  ``offset * <omega>``; producing them is exactly the cyclic NTT this
+  framework already runs at tens of Gbutterflies/s on the MXU
+  (``ops/ntt_mxu.py``). The host golden NTT (``r1cs/poly.py``) is the
+  semantic oracle used here; hashing and Fiat–Shamir stay host-side like the
+  rest of the transcript layer.
+- Merkle leaves pair positions ``i`` and ``i + N/2`` so each FRI fold query
+  costs a single authentication path per layer (the fold consumes exactly
+  that pair).
+- Fold rule: with ``f(x) = f_e(x^2) + x * f_o(x^2)`` and challenge ``c``,
+  the next layer is ``f_e + c * f_o`` on the squared domain:
+  ``v' = ((lo + hi) + c * (lo - hi) / x) / 2``.
+
+Supported fields: any modulus with a registered 2-adic subgroup — the
+Goldilocks NTT modulus (2-adicity 32) and the 45-bit NTT-friendly prime
+17592169062401 (2-adicity 13), i.e. the reference's two NTT fields
+(``lambda-snark-core/src/lib.rs:58``, ``r1cs.rs:529``), plus the healthcare
+dump prime 2013265921 (2-adicity 27, ``healthcare_quotient_dump.rs:10``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import struct
+from typing import Callable, List, Optional, Sequence, Tuple
+
+from ..core import field
+from ..core.errors import DomainError, SerializationError
+from ..core.params import (
+    HEALTHCARE_DUMP_MODULUS,
+    NTT_FRIENDLY_MODULUS,
+    NTT_MODULUS,
+    NTT_PRIMITIVE_ROOT,
+    ROOTS_OF_UNITY_45BIT,
+)
+from ..r1cs.poly import ntt_forward, ntt_inverse
+from .merkle import MerkleTree, verify_path
+
+# --- field registry ----------------------------------------------------------
+
+#: modulus -> (two_adicity, generator of the order-2^two_adicity subgroup,
+#:             coset offset = a multiplicative generator of F_q^*)
+_FRI_FIELDS = {
+    # Goldilocks: NTT_PRIMITIVE_ROOT has order 2^32 (g = 7, ntt.rs:226-233)
+    NTT_MODULUS: (32, NTT_PRIMITIVE_ROOT, 7),
+    # q45: the largest reference table root has order 2^13 (g = 3, r1cs.rs:534)
+    NTT_FRIENDLY_MODULUS: (13, ROOTS_OF_UNITY_45BIT[8192], 3),
+    # Baby-Bear-like healthcare prime: 2^27 subgroup, generator 31
+    HEALTHCARE_DUMP_MODULUS: (27, pow(31, 15, HEALTHCARE_DUMP_MODULUS), 31),
+}
+
+
+def fri_supported(modulus: int) -> bool:
+    return modulus in _FRI_FIELDS
+
+
+def max_codeword_size(modulus: int) -> int:
+    if modulus not in _FRI_FIELDS:
+        return 0
+    return 1 << _FRI_FIELDS[modulus][0]
+
+
+def root_of_order(modulus: int, size: int) -> int:
+    """Primitive ``size``-th root of unity (size a power of two)."""
+    if modulus not in _FRI_FIELDS:
+        raise DomainError(
+            f"FRI unsupported for modulus {modulus}: no registered 2-adic subgroup"
+        )
+    two_adicity, max_root, _ = _FRI_FIELDS[modulus]
+    if size & (size - 1) or size < 1:
+        raise DomainError(f"codeword size must be a power of two, got {size}")
+    log = size.bit_length() - 1
+    if log > two_adicity:
+        raise DomainError(
+            f"codeword size {size} exceeds the 2-adic subgroup 2^{two_adicity} "
+            f"of modulus {modulus}"
+        )
+    return pow(max_root, 1 << (two_adicity - log), modulus)
+
+
+def coset_offset(modulus: int) -> int:
+    """Multiplicative generator used as the LDE coset shift (keeps the
+    evaluation domain disjoint from every 2-power subgroup, so Z_H never
+    vanishes on it)."""
+    if modulus not in _FRI_FIELDS:
+        raise DomainError(f"FRI unsupported for modulus {modulus}")
+    return _FRI_FIELDS[modulus][2]
+
+
+# --- helpers -----------------------------------------------------------------
+
+
+def batch_inverse(vals: Sequence[int], q: int) -> List[int]:
+    """Montgomery batch inversion; raises DomainError on a zero element."""
+    n = len(vals)
+    prefix = [0] * n
+    acc = 1
+    for i, v in enumerate(vals):
+        prefix[i] = acc
+        acc = acc * v % q
+    if acc == 0:
+        raise DomainError("batch_inverse: zero element (challenge hit the domain)")
+    inv_acc = field.mod_inverse(acc, q)
+    if inv_acc is None:
+        raise DomainError("batch_inverse: non-invertible product")
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_acc % q
+        inv_acc = inv_acc * vals[i] % q
+    return out
+
+
+def coset_points(offset: int, omega: int, n: int, q: int) -> List[int]:
+    pts = [0] * n
+    acc = offset % q
+    for i in range(n):
+        pts[i] = acc
+        acc = acc * omega % q
+    return pts
+
+
+def lde(coeffs: Sequence[int], n: int, offset: int, omega: int, q: int) -> List[int]:
+    """Evaluate the polynomial on the size-``n`` coset ``offset * <omega>``.
+
+    f(offset * x) has coefficients c_i * offset^i; one cyclic NTT then gives
+    all coset evaluations — the RS encoding ridden by the device NTT paths.
+    """
+    padded = [c % q for c in coeffs] + [0] * (n - len(coeffs))
+    if len(padded) != n:
+        raise DomainError(f"polynomial length {len(coeffs)} exceeds codeword size {n}")
+    acc = 1
+    twisted = [0] * n
+    for i, c in enumerate(padded):
+        twisted[i] = c * acc % q
+        acc = acc * offset % q
+    return ntt_forward(twisted, q, omega)
+
+
+def commit_codeword(values: Sequence[int]) -> MerkleTree:
+    """Merkle-commit a codeword with paired leaves (i, i + N/2)."""
+    n = len(values)
+    half = n // 2
+    leaves = [
+        struct.pack("<QQ", values[i], values[i + half]) for i in range(half)
+    ]
+    return MerkleTree(leaves)
+
+
+# --- Fiat-Shamir transcript ---------------------------------------------------
+
+
+class FriTranscript:
+    """Deterministic SHA3-256 ratchet transcript (host-side, like
+    ``transcript/challenge.py``). Every absorb/squeeze replaces the state with
+    ``SHA3-256(state || label || data)``."""
+
+    DOMAIN_TAG = b"LAMBDA-SNARK-R-FRI-v1"
+
+    def __init__(self) -> None:
+        self._state = hashlib.sha3_256(self.DOMAIN_TAG).digest()
+        self._counter = 0
+
+    def absorb(self, label: bytes, data: bytes) -> None:
+        self._state = hashlib.sha3_256(self._state + label + data).digest()
+
+    def absorb_words(self, label: bytes, words: Sequence[int]) -> None:
+        blob = struct.pack("<Q", len(words)) + b"".join(
+            struct.pack("<Q", int(w) & ((1 << 64) - 1)) for w in words
+        )
+        self.absorb(label, blob)
+
+    def _squeeze(self, label: bytes) -> bytes:
+        self._counter += 1
+        digest = hashlib.sha3_256(
+            self._state + label + struct.pack("<Q", self._counter)
+        ).digest()
+        self._state = digest
+        return digest
+
+    def challenge_field(self, q: int, label: bytes) -> int:
+        """Field challenge: first 8 squeezed bytes mod q (same reduction the
+        reference transcript uses, ``challenge.rs:128-133``)."""
+        return int.from_bytes(self._squeeze(label)[:8], "little") % q
+
+    def challenge_indices(self, bound: int, count: int, label: bytes) -> List[int]:
+        out = []
+        for _ in range(count):
+            out.append(int.from_bytes(self._squeeze(label)[:8], "little") % bound)
+        return out
+
+
+# --- proof containers ---------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FriParams:
+    """Proximity-test parameters.
+
+    Defaults: rate 1/8 (log_blowup 3) with 30 queries ~ 90 bits of proximity
+    soundness; final polynomial capped at 8 coefficients.
+    """
+
+    log_blowup: int = 3
+    num_queries: int = 30
+    final_len: int = 8
+
+    def validate(self) -> None:
+        if not 1 <= self.log_blowup <= 8:
+            raise DomainError(f"log_blowup out of range: {self.log_blowup}")
+        if not 1 <= self.num_queries <= 1024:
+            raise DomainError(f"num_queries out of range: {self.num_queries}")
+        if self.final_len < 1 or self.final_len & (self.final_len - 1):
+            raise DomainError(f"final_len must be a power of two: {self.final_len}")
+
+    def at_least(self, floor: "FriParams") -> bool:
+        """Is this parameter set at least as strong as ``floor``?"""
+        return (
+            self.log_blowup >= floor.log_blowup
+            and self.num_queries >= floor.num_queries
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerOpening:
+    """One authenticated codeword pair (v[i], v[i + N/2]) with its path."""
+
+    v_lo: int
+    v_hi: int
+    path: Tuple[bytes, ...]
+
+    def to_bytes(self) -> bytes:
+        out = struct.pack("<QQB", self.v_lo, self.v_hi, len(self.path))
+        return out + b"".join(self.path)
+
+    @staticmethod
+    def read(data: bytes, off: int) -> Tuple["LayerOpening", int]:
+        if off + 17 > len(data):
+            raise SerializationError("truncated FRI opening")
+        v_lo, v_hi, plen = struct.unpack_from("<QQB", data, off)
+        off += 17
+        path = []
+        for _ in range(plen):
+            if off + 32 > len(data):
+                raise SerializationError("truncated FRI path")
+            path.append(data[off : off + 32])
+            off += 32
+        return LayerOpening(v_lo, v_hi, tuple(path)), off
+
+
+@dataclasses.dataclass(frozen=True)
+class FriQuery:
+    input_openings: Tuple[LayerOpening, ...]  # one per input oracle
+    layer_openings: Tuple[LayerOpening, ...]  # one per committed fold layer
+
+    def to_bytes(self) -> bytes:
+        out = struct.pack("<BB", len(self.input_openings), len(self.layer_openings))
+        for op in self.input_openings:
+            out += op.to_bytes()
+        for op in self.layer_openings:
+            out += op.to_bytes()
+        return out
+
+    @staticmethod
+    def read(data: bytes, off: int) -> Tuple["FriQuery", int]:
+        if off + 2 > len(data):
+            raise SerializationError("truncated FRI query")
+        n_in, n_layer = struct.unpack_from("<BB", data, off)
+        off += 2
+        ins = []
+        for _ in range(n_in):
+            op, off = LayerOpening.read(data, off)
+            ins.append(op)
+        layers = []
+        for _ in range(n_layer):
+            op, off = LayerOpening.read(data, off)
+            layers.append(op)
+        return FriQuery(tuple(ins), tuple(layers)), off
+
+
+@dataclasses.dataclass(frozen=True)
+class FriProof:
+    layer_roots: Tuple[bytes, ...]
+    final_coeffs: Tuple[int, ...]
+    queries: Tuple[FriQuery, ...]
+
+    def to_bytes(self) -> bytes:
+        out = struct.pack("<H", len(self.layer_roots)) + b"".join(self.layer_roots)
+        out += struct.pack("<H", len(self.final_coeffs))
+        out += b"".join(struct.pack("<Q", c) for c in self.final_coeffs)
+        out += struct.pack("<H", len(self.queries))
+        for qy in self.queries:
+            out += qy.to_bytes()
+        return out
+
+    @staticmethod
+    def read(data: bytes, off: int) -> Tuple["FriProof", int]:
+        if off + 2 > len(data):
+            raise SerializationError("truncated FRI proof")
+        (n_roots,) = struct.unpack_from("<H", data, off)
+        off += 2
+        roots = []
+        for _ in range(n_roots):
+            if off + 32 > len(data):
+                raise SerializationError("truncated FRI roots")
+            roots.append(data[off : off + 32])
+            off += 32
+        if off + 2 > len(data):
+            raise SerializationError("truncated FRI final length")
+        (n_final,) = struct.unpack_from("<H", data, off)
+        off += 2
+        if n_final > 4096:
+            raise SerializationError("unreasonable FRI final polynomial length")
+        final = []
+        for _ in range(n_final):
+            if off + 8 > len(data):
+                raise SerializationError("truncated FRI final coeffs")
+            (c,) = struct.unpack_from("<Q", data, off)
+            final.append(c)
+            off += 8
+        if off + 2 > len(data):
+            raise SerializationError("truncated FRI query count")
+        (n_q,) = struct.unpack_from("<H", data, off)
+        off += 2
+        if n_q > 4096:
+            raise SerializationError("unreasonable FRI query count")
+        queries = []
+        for _ in range(n_q):
+            qy, off = FriQuery.read(data, off)
+            queries.append(qy)
+        return FriProof(tuple(roots), tuple(final), tuple(queries)), off
+
+
+# --- folding -----------------------------------------------------------------
+
+
+def _fold_codeword(
+    values: List[int], offset: int, omega: int, c: int, q: int
+) -> List[int]:
+    n = len(values)
+    half = n // 2
+    xs = coset_points(offset, omega, half, q)
+    inv_xs = batch_inverse(xs, q)
+    inv2 = field.mod_inverse(2, q)
+    out = [0] * half
+    for i in range(half):
+        lo = values[i]
+        hi = values[i + half]
+        out[i] = ((lo + hi) + c * ((lo - hi) % q) % q * inv_xs[i]) % q * inv2 % q
+    return out
+
+
+def _fold_pair(lo: int, hi: int, x: int, c: int, q: int) -> int:
+    inv2x = field.mod_inverse(2 * x % q, q)
+    if inv2x is None:
+        raise DomainError("fold point not invertible")
+    inv2 = field.mod_inverse(2, q)
+    return ((lo + hi) % q * inv2 + c * ((lo - hi) % q) % q * inv2x) % q
+
+
+def _effective_final_len(d_bound: int, final_len: int) -> int:
+    """At least one fold must happen; shrink final_len for tiny instances."""
+    return min(final_len, max(1, d_bound >> 1))
+
+
+# --- prover ------------------------------------------------------------------
+
+
+def fri_prove(
+    g_codeword: List[int],
+    inputs: Sequence[Tuple[Sequence[int], MerkleTree]],
+    offset: int,
+    omega: int,
+    q: int,
+    params: FriParams,
+    tr: FriTranscript,
+) -> FriProof:
+    """Prove that ``g_codeword`` (the virtual combined-quotient oracle built
+    from the committed ``inputs``) is within proximity of degree <
+    ``len(g_codeword) >> params.log_blowup``.
+
+    The caller must have absorbed the input roots and claimed evaluations
+    into ``tr`` already; challenges and query indices are derived here in
+    the same order the verifier re-derives them.
+    """
+    params.validate()
+    n0 = len(g_codeword)
+    d_bound = n0 >> params.log_blowup
+    final_len = _effective_final_len(d_bound, params.final_len)
+
+    committed: List[Tuple[List[int], MerkleTree]] = []
+    roots: List[bytes] = []
+    cur = list(g_codeword)
+    off, om, d = offset, omega, d_bound
+    while True:
+        c = tr.challenge_field(q, b"fri-fold")
+        cur = _fold_codeword(cur, off, om, c, q)
+        off = off * off % q
+        om = om * om % q
+        d >>= 1
+        if d <= final_len:
+            break
+        tree = commit_codeword(cur)
+        committed.append((cur, tree))
+        roots.append(tree.root)
+        tr.absorb(b"fri-layer-root", tree.root)
+
+    # final polynomial: iNTT on the residual coset, untwisted by the offset
+    coeffs = ntt_inverse(cur, q, om)
+    inv_off = field.mod_inverse(off, q)
+    acc = 1
+    final: List[int] = []
+    for i, cf in enumerate(coeffs):
+        final.append(cf * acc % q)
+        acc = acc * inv_off % q
+    # degree bound: everything beyond final_len must vanish for an honest run
+    if any(final[final_len:]):
+        raise DomainError("FRI final polynomial exceeds its degree bound")
+    final = final[:final_len]
+    tr.absorb_words(b"fri-final", final)
+
+    indices = tr.challenge_indices(n0 // 2, params.num_queries, b"fri-query")
+
+    queries: List[FriQuery] = []
+    for i0 in indices:
+        input_openings = []
+        for values, tree in inputs:
+            half = len(values) // 2
+            input_openings.append(
+                LayerOpening(
+                    values[i0], values[i0 + half], tuple(tree.path(i0))
+                )
+            )
+        layer_openings = []
+        pos = i0  # position of the folded value inside the next layer
+        for values, tree in committed:
+            half = len(values) // 2
+            p = pos % half
+            layer_openings.append(
+                LayerOpening(values[p], values[p + half], tuple(tree.path(p)))
+            )
+            pos = p
+        queries.append(FriQuery(tuple(input_openings), tuple(layer_openings)))
+
+    return FriProof(tuple(roots), tuple(final), tuple(queries))
+
+
+# --- verifier ----------------------------------------------------------------
+
+
+def fri_verify(
+    proof: FriProof,
+    input_roots: Sequence[bytes],
+    g_eval: Callable[[int, int, Sequence[int], Sequence[int]], Tuple[int, int]],
+    n0: int,
+    offset: int,
+    omega: int,
+    q: int,
+    params: FriParams,
+    tr: FriTranscript,
+) -> bool:
+    """Verify a FriProof.
+
+    ``g_eval(index, half, lo_values, hi_values) -> (g_lo, g_hi)`` computes the
+    virtual oracle at positions ``index`` and ``index + half`` from the
+    authenticated per-input codeword values (one lo/hi pair per input oracle).
+    """
+    params.validate()
+    d_bound = n0 >> params.log_blowup
+    final_len = _effective_final_len(d_bound, params.final_len)
+    if len(proof.final_coeffs) > final_len:
+        return False
+
+    # re-derive the fold challenges / query indices exactly as the prover did
+    fold_challenges: List[int] = []
+    d = d_bound
+    layer_idx = 0
+    while True:
+        fold_challenges.append(tr.challenge_field(q, b"fri-fold"))
+        d >>= 1
+        if d <= final_len:
+            break
+        if layer_idx >= len(proof.layer_roots):
+            return False
+        tr.absorb(b"fri-layer-root", proof.layer_roots[layer_idx])
+        layer_idx += 1
+    if layer_idx != len(proof.layer_roots):
+        return False
+    tr.absorb_words(b"fri-final", list(proof.final_coeffs))
+    indices = tr.challenge_indices(n0 // 2, params.num_queries, b"fri-query")
+    if len(proof.queries) != len(indices):
+        return False
+
+    for i0, query in zip(indices, proof.queries):
+        if len(query.input_openings) != len(input_roots):
+            return False
+        if len(query.layer_openings) != len(proof.layer_roots):
+            return False
+        # authenticate the input oracles at the pair (i0, i0 + n0/2)
+        half0 = n0 // 2
+        lo_vals: List[int] = []
+        hi_vals: List[int] = []
+        for op, root in zip(query.input_openings, input_roots):
+            leaf = struct.pack("<QQ", op.v_lo, op.v_hi)
+            if not verify_path(root, i0, leaf, op.path):
+                return False
+            lo_vals.append(op.v_lo)
+            hi_vals.append(op.v_hi)
+        try:
+            g_lo, g_hi = g_eval(i0, half0, lo_vals, hi_vals)
+        except DomainError:
+            return False
+
+        # walk the fold layers
+        pos = i0
+        size = n0
+        off, om = offset, omega
+        v_lo, v_hi = g_lo, g_hi
+        for k, c in enumerate(fold_challenges):
+            x = off * pow(om, pos, q) % q
+            try:
+                folded = _fold_pair(v_lo, v_hi, x, c, q)
+            except DomainError:
+                return False
+            size //= 2
+            off = off * off % q
+            om = om * om % q
+            if k < len(proof.layer_roots):
+                half = size // 2
+                p = pos % half
+                op = query.layer_openings[k]
+                leaf = struct.pack("<QQ", op.v_lo, op.v_hi)
+                if not verify_path(proof.layer_roots[k], p, leaf, op.path):
+                    return False
+                expect = op.v_lo if pos < half else op.v_hi
+                if folded != expect:
+                    return False
+                v_lo, v_hi = op.v_lo, op.v_hi
+                pos = p
+            else:
+                # final layer: compare against the sent polynomial
+                x_fin = off * pow(om, pos, q) % q
+                fin = 0
+                for cf in reversed(proof.final_coeffs):
+                    fin = (fin * x_fin + cf) % q
+                if folded != fin:
+                    return False
+    return True

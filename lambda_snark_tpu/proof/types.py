@@ -287,4 +287,8 @@ def deserialize_any(data: bytes):
         from .compact import CompactProofR1CS
 
         return CompactProofR1CS.from_bytes(data)
+    if kind == 7:  # succinct FRI-opening proofs (proof.succinct)
+        from .succinct import SuccinctProofR1CS
+
+        return SuccinctProofR1CS.from_bytes(data)
     raise SerializationError(f"unknown proof kind {kind}")

@@ -106,7 +106,31 @@ def _proof_corpus(ctx=None):
     simple = prove_simple(witness, [1, 7], ctx, q, seed=5)
     _p2, binding = prove_r1cs_checked(r1cs, witness, ctx, seed=6)
     corpus = [p.to_bytes() for p in (base, zk, compact, simple)]
-    return r1cs, ctx, corpus, binding.to_bytes()
+    # succinct (kind 7) needs an NTT field + roots domain: tiny q45 circuit
+    from ..core.params import NTT_FRIENDLY_MODULUS
+    from ..proof.fri import FriParams
+    from ..proof.succinct import prove_r1cs_succinct
+
+    b45 = CircuitBuilder(NTT_FRIENDLY_MODULUS)
+    for _ in range(4):
+        b45.alloc_var()
+    b45.set_public_inputs(2)
+    b45.mul_gate(1, 2, 3)
+    for _ in range(3):  # pad to m=4 (power of two -> roots domain)
+        b45.mul_gate(1, 2, 3)
+    r45 = b45.build()
+    w45 = [1, 7, 13, 91]
+    ctx45 = setup(
+        Params(
+            SecurityLevel.BITS128,
+            Profile.ring_b(64, 1, NTT_FRIENDLY_MODULUS, 3.19),
+        )
+    )
+    succinct = prove_r1cs_succinct(
+        r45, w45, ctx45, seed=7, fri_params=FriParams(num_queries=4)
+    )
+    corpus.append(succinct.to_bytes())
+    return r1cs, ctx, corpus, binding.to_bytes(), r45
 
 
 def fuzz_deserializers(iterations: int = 2000, seed: int = 0,
@@ -115,7 +139,7 @@ def fuzz_deserializers(iterations: int = 2000, seed: int = 0,
     from ..proof.types import deserialize_any
 
     rng = random.Random(seed)
-    _r1cs, _ctx, corpus, binding_bytes = _corpus or _proof_corpus()
+    _r1cs, _ctx, corpus, binding_bytes, _r45 = _corpus or _proof_corpus()
     rep = FuzzReport("deserializers", iterations, seed, [])
     for i in range(iterations):
         use_binding = rng.randrange(5) == 0
@@ -204,11 +228,12 @@ def fuzz_circuit_parser(iterations: int = 1000, seed: int = 0,
 def fuzz_verify(iterations: int = 1000, seed: int = 0,
                 _corpus=None) -> FuzzReport:
     from ..proof.compact import CompactProofR1CS, verify_r1cs_compact
+    from ..proof.succinct import SuccinctProofR1CS, verify_r1cs_succinct
     from ..proof.types import Proof, ProofR1CS, ProofR1csZk, deserialize_any
     from ..verifier import verify_r1cs, verify_r1cs_zk, verify_simple
 
     rng = random.Random(seed)
-    r1cs, _ctx, corpus, _bb = _corpus or _proof_corpus()
+    r1cs, _ctx, corpus, _bb, r45 = _corpus or _proof_corpus()
     public = [1, 7]
     rep = FuzzReport("verify", iterations, seed, [])
     originals = set(corpus)
@@ -224,7 +249,13 @@ def fuzz_verify(iterations: int = 1000, seed: int = 0,
             continue
         rep.parsed_ok += 1
         try:
-            if isinstance(proof, CompactProofR1CS):
+            if isinstance(proof, SuccinctProofR1CS):
+                from ..proof.fri import FriParams
+
+                ok = verify_r1cs_succinct(
+                    proof, public, r45, min_params=FriParams(num_queries=4)
+                )
+            elif isinstance(proof, CompactProofR1CS):
                 ok = verify_r1cs_compact(proof, public, r1cs)
             elif isinstance(proof, ProofR1csZk):
                 ok = verify_r1cs_zk(proof, public, r1cs)

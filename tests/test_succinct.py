@@ -1,0 +1,369 @@
+"""Succinct FRI-bound openings (ROADMAP item 6; proof/fri.py, proof/succinct.py).
+
+Covers what the reference could not test (its openings were stubs —
+``lib.rs:788-791``): completeness on all three NTT fields, binding of every
+claimed evaluation, tamper rejection at each proof component, ZK masking,
+wire round-trip, and parameter policy.
+"""
+
+import dataclasses
+import random
+
+import pytest
+
+from lambda_snark_tpu import (
+    Params,
+    Profile,
+    SecurityLevel,
+    SuccinctProofR1CS,
+    deserialize_any,
+    prove_r1cs_succinct,
+    setup,
+    verify_r1cs_succinct,
+)
+from lambda_snark_tpu.core.errors import DomainError, SerializationError
+from lambda_snark_tpu.core.params import (
+    HEALTHCARE_DUMP_MODULUS,
+    NTT_FRIENDLY_MODULUS,
+    NTT_MODULUS,
+)
+from lambda_snark_tpu.proof import fri
+from lambda_snark_tpu.proof.fri import FriParams, FriTranscript
+from lambda_snark_tpu.proof.merkle import MerkleTree, verify_path
+from lambda_snark_tpu.r1cs.circuit import CircuitBuilder
+from lambda_snark_tpu.r1cs import poly as polyops
+
+Q45 = NTT_FRIENDLY_MODULUS
+
+# fast test parameters (defaults are 30 queries / blowup 8)
+FAST = FriParams(log_blowup=3, num_queries=8)
+
+
+def mult_circuit(m, modulus):
+    builder = CircuitBuilder(modulus)
+    builder.alloc_var()
+    a = builder.alloc_vars(m)
+    b = builder.alloc_vars(m)
+    c = builder.alloc_vars(m)
+    builder.set_public_inputs(1)
+    for i in range(m):
+        builder.mul_gate(a[i], b[i], c[i])
+    return builder.build()
+
+
+def mult_witness(m, modulus, seed=0):
+    rng = random.Random(seed)
+    a = [rng.randrange(1, modulus) for _ in range(m)]
+    b = [rng.randrange(1, modulus) for _ in range(m)]
+    c = [(x * y) % modulus for x, y in zip(a, b)]
+    return [1] + a + b + c
+
+
+@pytest.fixture(scope="module")
+def ctx45():
+    return setup(Params(SecurityLevel.BITS128, Profile.ring_b(64, 1, Q45, 3.19)))
+
+
+@pytest.fixture(scope="module")
+def proof45(ctx45):
+    r1cs = mult_circuit(16, Q45)
+    w = mult_witness(16, Q45)
+    proof = prove_r1cs_succinct(r1cs, w, ctx45, seed=42, fri_params=FAST)
+    return r1cs, w, proof
+
+
+# --- merkle ------------------------------------------------------------------
+
+
+def test_merkle_paths_verify_and_reject():
+    leaves = [bytes([i]) * 16 for i in range(8)]
+    tree = MerkleTree(leaves)
+    for i, leaf in enumerate(leaves):
+        path = tree.path(i)
+        assert verify_path(tree.root, i, leaf, path)
+        assert not verify_path(tree.root, i, b"x" + leaf[1:], path)
+        assert not verify_path(tree.root, i ^ 1, leaf, path)
+    bad_path = [b"\x00" * 32] + tree.path(0)[1:]
+    assert not verify_path(tree.root, 0, leaves[0], bad_path)
+
+
+def test_merkle_requires_power_of_two():
+    with pytest.raises(ValueError):
+        MerkleTree([b"a", b"b", b"c"])
+
+
+# --- fri primitives ----------------------------------------------------------
+
+
+def test_lde_matches_pointwise_evaluation():
+    q = Q45
+    coeffs = [3, 1, 4, 1, 5, 9, 2, 6]
+    n = 32
+    offset = fri.coset_offset(q)
+    omega = fri.root_of_order(q, n)
+    cw = fri.lde(coeffs, n, offset, omega, q)
+    pts = fri.coset_points(offset, omega, n, q)
+    for i in (0, 1, 7, 31):
+        assert cw[i] == polyops.poly_eval(coeffs, pts[i], q)
+
+
+def test_batch_inverse():
+    q = Q45
+    vals = [random.Random(1).randrange(1, q) for _ in range(17)]
+    invs = fri.batch_inverse(vals, q)
+    assert all(v * iv % q == 1 for v, iv in zip(vals, invs))
+    with pytest.raises(DomainError):
+        fri.batch_inverse([5, 0, 7], q)
+
+
+def test_fri_transcript_deterministic_and_order_sensitive():
+    t1, t2 = FriTranscript(), FriTranscript()
+    t1.absorb(b"a", b"x")
+    t2.absorb(b"a", b"x")
+    assert t1.challenge_field(Q45, b"c") == t2.challenge_field(Q45, b"c")
+    t3 = FriTranscript()
+    t3.absorb(b"a", b"y")
+    assert t3.challenge_field(Q45, b"c") != t1.challenge_field(Q45, b"c")
+
+
+# --- end-to-end completeness -------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "modulus", [Q45, NTT_MODULUS, HEALTHCARE_DUMP_MODULUS],
+    ids=["q45", "goldilocks", "healthcare"],
+)
+def test_succinct_roundtrip_all_ntt_fields(modulus):
+    m = 8
+    r1cs = mult_circuit(m, modulus)
+    if r1cs.domain.kind != "roots":
+        # the healthcare prime defaults to the sequential domain; the domain
+        # knob is explicit, so pin a roots domain for the succinct path
+        from lambda_snark_tpu.r1cs.domain import Domain
+
+        r1cs = dataclasses.replace(
+            r1cs, domain=Domain.roots(m, modulus, fri.root_of_order(modulus, m))
+        )
+    w = mult_witness(m, modulus)
+    ctx = setup(Params(SecurityLevel.BITS128, Profile.ring_b(64, 1, modulus, 3.19)))
+    proof = prove_r1cs_succinct(r1cs, w, ctx, seed=3, fri_params=FAST)
+    assert verify_r1cs_succinct(proof, r1cs.public_inputs(w), r1cs,
+                                min_params=FAST)
+    # wire round-trip, including the generic dispatcher
+    blob = proof.to_bytes()
+    parsed = deserialize_any(blob)
+    assert isinstance(parsed, SuccinctProofR1CS)
+    assert parsed.to_bytes() == blob
+    assert verify_r1cs_succinct(parsed, r1cs.public_inputs(w), r1cs,
+                                min_params=FAST)
+
+
+def test_succinct_proof_is_non_revealing(proof45):
+    """The proof must not contain the quotient or witness polynomials: its
+    total size is independent of their coefficients beyond Merkle roots,
+    evaluations, and the ~num_queries spot checks."""
+    r1cs, w, proof = proof45
+    q_coeffs = r1cs.compute_quotient_poly(w)
+    blob = proof.to_bytes()
+    # no contiguous little-endian encoding of the quotient appears in the wire
+    needle = b"".join(int(c).to_bytes(8, "little") for c in q_coeffs[:4])
+    assert needle not in blob
+
+
+def test_succinct_verifies(proof45):
+    r1cs, w, proof = proof45
+    assert verify_r1cs_succinct(proof, r1cs.public_inputs(w), r1cs,
+                                min_params=FAST)
+
+
+def test_wrong_public_inputs_rejected(proof45):
+    r1cs, w, proof = proof45
+    assert not verify_r1cs_succinct(proof, [2], r1cs, min_params=FAST)
+
+
+@pytest.mark.parametrize(
+    "field_name",
+    ["a_alpha", "b_alpha", "c_alpha", "q_alpha", "a_beta", "q_beta"],
+)
+def test_tampered_evaluation_rejected(proof45, field_name):
+    r1cs, w, proof = proof45
+    bad = dataclasses.replace(
+        proof, **{field_name: (getattr(proof, field_name) + 1) % r1cs.modulus}
+    )
+    assert not verify_r1cs_succinct(bad, r1cs.public_inputs(w), r1cs,
+                                    min_params=FAST)
+
+
+def test_consistent_lie_caught_by_fri(proof45):
+    """Shift Q(alpha) and A(alpha) together so the quotient identity still
+    holds at alpha — the FRI binding must still catch it."""
+    r1cs, w, proof = proof45
+    q = r1cs.modulus
+    from lambda_snark_tpu.core import field
+
+    zh_alpha = r1cs.eval_vanishing(proof.challenge_alpha.alpha)
+    # pick a' = a + 1 and q' satisfying q' * Z = a' * b - c
+    a_new = (proof.a_alpha + 1) % q
+    rhs = field.sub_mod(field.mul_mod(a_new, proof.b_alpha, q), proof.c_alpha, q)
+    q_new = field.mul_mod(rhs, field.mod_inverse(zh_alpha, q), q)
+    bad = dataclasses.replace(proof, a_alpha=a_new, q_alpha=q_new)
+    assert not verify_r1cs_succinct(bad, r1cs.public_inputs(w), r1cs,
+                                    min_params=FAST)
+
+
+def test_tampered_root_rejected(proof45):
+    r1cs, w, proof = proof45
+    roots = list(proof.input_roots)
+    roots[0] = bytes(32)
+    bad = dataclasses.replace(proof, input_roots=tuple(roots))
+    assert not verify_r1cs_succinct(bad, r1cs.public_inputs(w), r1cs,
+                                    min_params=FAST)
+
+
+def test_tampered_fri_final_rejected(proof45):
+    r1cs, w, proof = proof45
+    final = list(proof.fri.final_coeffs)
+    final[0] = (final[0] + 1) % r1cs.modulus
+    bad_fri = dataclasses.replace(proof.fri, final_coeffs=tuple(final))
+    bad = dataclasses.replace(proof, fri=bad_fri)
+    assert not verify_r1cs_succinct(bad, r1cs.public_inputs(w), r1cs,
+                                    min_params=FAST)
+
+
+def test_tampered_path_rejected(proof45):
+    r1cs, w, proof = proof45
+    q0 = proof.fri.queries[0]
+    op0 = q0.input_openings[0]
+    bad_op = dataclasses.replace(
+        op0, path=(bytes(32),) + op0.path[1:]
+    )
+    bad_q0 = dataclasses.replace(
+        q0, input_openings=(bad_op,) + q0.input_openings[1:]
+    )
+    bad_fri = dataclasses.replace(
+        proof.fri, queries=(bad_q0,) + proof.fri.queries[1:]
+    )
+    bad = dataclasses.replace(proof, fri=bad_fri)
+    assert not verify_r1cs_succinct(bad, r1cs.public_inputs(w), r1cs,
+                                    min_params=FAST)
+
+
+def test_tampered_leaf_value_rejected(proof45):
+    r1cs, w, proof = proof45
+    q0 = proof.fri.queries[0]
+    op0 = q0.input_openings[3]  # the Q~ oracle
+    bad_op = dataclasses.replace(op0, v_lo=(op0.v_lo + 1) % r1cs.modulus)
+    bad_q0 = dataclasses.replace(
+        q0, input_openings=q0.input_openings[:3] + (bad_op,)
+    )
+    bad_fri = dataclasses.replace(
+        proof.fri, queries=(bad_q0,) + proof.fri.queries[1:]
+    )
+    bad = dataclasses.replace(proof, fri=bad_fri)
+    assert not verify_r1cs_succinct(bad, r1cs.public_inputs(w), r1cs,
+                                    min_params=FAST)
+
+
+def test_weaker_params_rejected_by_policy(proof45):
+    r1cs, w, proof = proof45
+    floor = FriParams(log_blowup=3, num_queries=proof.num_queries + 1)
+    assert not verify_r1cs_succinct(proof, r1cs.public_inputs(w), r1cs,
+                                    min_params=floor)
+
+
+def test_invalid_witness_rejected_at_prove_time(ctx45):
+    from lambda_snark_tpu.core.errors import InvalidWitnessError
+
+    r1cs = mult_circuit(4, Q45)
+    w = mult_witness(4, Q45)
+    w[1] = (w[1] + 1) % Q45  # break a gate
+    with pytest.raises(InvalidWitnessError):
+        prove_r1cs_succinct(r1cs, w, ctx45, seed=1, fri_params=FAST)
+
+
+def test_non_ntt_modulus_raises(ctx45):
+    r1cs = mult_circuit(4, 17592186044417)  # composite tv modulus
+    w = mult_witness(4, 17592186044417)
+    ctx = setup(
+        Params(SecurityLevel.BITS128, Profile.ring_b(64, 1, 17592186044417, 3.19))
+    )
+    with pytest.raises(DomainError):
+        prove_r1cs_succinct(r1cs, w, ctx, seed=1, fri_params=FAST)
+
+
+def test_q45_2adic_limit_enforced(ctx45):
+    """q45's subgroup tops out at 2^13: a circuit that would need a larger
+    codeword must be rejected with a clear error."""
+    m = 2048
+    # a minimal stand-in: only (modulus, m, domain) matter for the size check
+    from lambda_snark_tpu.r1cs.domain import Domain
+    from lambda_snark_tpu.proof.succinct import _check_instance
+
+    dom = Domain.roots(m, Q45, fri.root_of_order(Q45, m))
+    fake = dataclasses.make_dataclass("FakeR1CS", ["modulus", "m", "domain"])(
+        Q45, m, dom
+    )
+    with pytest.raises(DomainError):
+        _check_instance(fake, FriParams(log_blowup=3), 0)
+
+
+# --- zero-knowledge variant ---------------------------------------------------
+
+
+def test_zk_succinct_verifies_and_masks(ctx45):
+    r1cs = mult_circuit(8, Q45)
+    w = mult_witness(8, Q45)
+    plain = prove_r1cs_succinct(r1cs, w, ctx45, seed=9, fri_params=FAST)
+    zk = prove_r1cs_succinct(
+        r1cs, w, ctx45, seed=9, zk=True, blinding_seed=11, fri_params=FAST
+    )
+    assert verify_r1cs_succinct(zk, r1cs.public_inputs(w), r1cs, min_params=FAST)
+    assert zk.mask_len == 2 * FAST.num_queries + 8
+    # masked roots and evaluations must differ from the unmasked run
+    assert zk.input_roots != plain.input_roots
+    # deterministic given seeds
+    zk2 = prove_r1cs_succinct(
+        r1cs, w, ctx45, seed=9, zk=True, blinding_seed=11, fri_params=FAST
+    )
+    assert zk2.to_bytes() == zk.to_bytes()
+    # different blinding -> different openings, same verdict
+    zk3 = prove_r1cs_succinct(
+        r1cs, w, ctx45, seed=9, zk=True, blinding_seed=12, fri_params=FAST
+    )
+    assert zk3.input_roots != zk.input_roots
+    assert verify_r1cs_succinct(zk3, r1cs.public_inputs(w), r1cs, min_params=FAST)
+
+
+def test_zk_leaf_values_differ_from_plain_codewords(ctx45):
+    """Query openings in the ZK proof must not expose unmasked codeword
+    values (the masks cover every queried position)."""
+    r1cs = mult_circuit(8, Q45)
+    w = mult_witness(8, Q45)
+    plain = prove_r1cs_succinct(r1cs, w, ctx45, seed=9, fri_params=FAST)
+    zk = prove_r1cs_succinct(
+        r1cs, w, ctx45, seed=9, zk=True, blinding_seed=11, fri_params=FAST
+    )
+    plain_vals = {
+        (op.v_lo, op.v_hi)
+        for qy in plain.fri.queries
+        for op in qy.input_openings
+    }
+    zk_vals = {
+        (op.v_lo, op.v_hi)
+        for qy in zk.fri.queries
+        for op in qy.input_openings
+    }
+    assert not plain_vals & zk_vals
+
+
+# --- serialization robustness --------------------------------------------------
+
+
+def test_truncation_is_typed(proof45):
+    _r1cs, _w, proof = proof45
+    blob = proof.to_bytes()
+    for cut in range(0, len(blob), 97):
+        try:
+            SuccinctProofR1CS.from_bytes(blob[:cut])
+        except SerializationError:
+            pass
