@@ -99,6 +99,53 @@ def coset_offset(modulus: int) -> int:
     return _FRI_FIELDS[modulus][2]
 
 
+# --- vectorized Goldilocks backend --------------------------------------------
+#
+# For the Goldilocks modulus every hot FRI array op (LDE, coset powers,
+# batched inversion, folding, the combined-quotient build) dispatches to the
+# exact vectorized uint64 kernels in ``ops/goldilocks_np.py`` — the same
+# module the device limb pipeline is tested against. Other moduli keep the
+# Python-int golden path (q45 codewords are capped at 2^13 by the field's
+# 2-adicity, so the golden path is already fast enough there).
+
+import numpy as np
+
+from ..ops import goldilocks_np as glnp
+
+
+def _gl_powers(base: int, n: int) -> np.ndarray:
+    """[base^0, ..., base^(n-1)] mod Goldilocks via log-doubling."""
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = 1
+    step = 1
+    cur = base % glnp.GOLDILOCKS
+    while step < n:
+        m = min(step, n - step)
+        out[step : step + m] = glnp.gl_mul(out[:m], np.uint64(cur))
+        cur = cur * cur % glnp.GOLDILOCKS
+        step <<= 1
+    return out
+
+
+def _gl_pow_array(a: np.ndarray, exp: int) -> np.ndarray:
+    """Elementwise a^exp mod Goldilocks (square-and-multiply on the array)."""
+    result = np.ones_like(a)
+    base = a.copy()
+    while exp:
+        if exp & 1:
+            result = glnp.gl_mul(result, base)
+        exp >>= 1
+        if exp:
+            base = glnp.gl_mul(base, base)
+    return result
+
+
+def _gl_inverse_array(a: np.ndarray) -> np.ndarray:
+    if bool((a == 0).any()):
+        raise DomainError("batch_inverse: zero element (challenge hit the domain)")
+    return _gl_pow_array(a, glnp.GOLDILOCKS - 2)
+
+
 # --- helpers -----------------------------------------------------------------
 
 
@@ -137,9 +184,16 @@ def lde(coeffs: Sequence[int], n: int, offset: int, omega: int, q: int) -> List[
     f(offset * x) has coefficients c_i * offset^i; one cyclic NTT then gives
     all coset evaluations — the RS encoding ridden by the device NTT paths.
     """
-    padded = [c % q for c in coeffs] + [0] * (n - len(coeffs))
-    if len(padded) != n:
+    if len(coeffs) > n:
         raise DomainError(f"polynomial length {len(coeffs)} exceeds codeword size {n}")
+    if q == glnp.GOLDILOCKS:
+        padded_np = np.zeros(n, dtype=np.uint64)
+        padded_np[: len(coeffs)] = np.array([c % q for c in coeffs], dtype=np.uint64)
+        twisted_np = glnp.gl_mul(padded_np, _gl_powers(offset, n))
+        # GoldilocksNtt(n).omega == root_of_order(GOLDILOCKS, n): same 2^32
+        # primitive-root ladder — asserted in tests/test_succinct.py
+        return glnp.goldilocks_ntt(n).forward(twisted_np)
+    padded = [c % q for c in coeffs] + [0] * (n - len(coeffs))
     acc = 1
     twisted = [0] * n
     for i, c in enumerate(padded):
@@ -345,14 +399,22 @@ class FriProof:
 # --- folding -----------------------------------------------------------------
 
 
-def _fold_codeword(
-    values: List[int], offset: int, omega: int, c: int, q: int
-) -> List[int]:
+def _fold_codeword(values, offset: int, omega: int, c: int, q: int):
     n = len(values)
     half = n // 2
+    inv2 = field.mod_inverse(2, q)
+    if q == glnp.GOLDILOCKS:
+        v = np.asarray(values, dtype=np.uint64)
+        lo, hi = v[:half], v[half:]
+        # 1/x over the coset is itself geometric: inv(offset) * inv(omega)^i
+        inv_xs = glnp.gl_mul(
+            np.uint64(field.mod_inverse(offset, q)),
+            _gl_powers(field.mod_inverse(omega, q), half),
+        )
+        t = glnp.gl_mul(glnp.gl_mul(np.uint64(c % q), glnp.gl_sub(lo, hi)), inv_xs)
+        return glnp.gl_mul(glnp.gl_add(glnp.gl_add(lo, hi), t), np.uint64(inv2))
     xs = coset_points(offset, omega, half, q)
     inv_xs = batch_inverse(xs, q)
-    inv2 = field.mod_inverse(2, q)
     out = [0] * half
     for i in range(half):
         lo = values[i]
@@ -399,9 +461,9 @@ def fri_prove(
     d_bound = n0 >> params.log_blowup
     final_len = _effective_final_len(d_bound, params.final_len)
 
-    committed: List[Tuple[List[int], MerkleTree]] = []
+    committed: List[Tuple[Sequence[int], MerkleTree]] = []
     roots: List[bytes] = []
-    cur = list(g_codeword)
+    cur = g_codeword
     off, om, d = offset, omega, d_bound
     while True:
         c = tr.challenge_field(q, b"fri-fold")
@@ -417,7 +479,7 @@ def fri_prove(
         tr.absorb(b"fri-layer-root", tree.root)
 
     # final polynomial: iNTT on the residual coset, untwisted by the offset
-    coeffs = ntt_inverse(cur, q, om)
+    coeffs = ntt_inverse([int(v) for v in cur], q, om)
     inv_off = field.mod_inverse(off, q)
     acc = 1
     final: List[int] = []
@@ -439,7 +501,7 @@ def fri_prove(
             half = len(values) // 2
             input_openings.append(
                 LayerOpening(
-                    values[i0], values[i0 + half], tuple(tree.path(i0))
+                    int(values[i0]), int(values[i0 + half]), tuple(tree.path(i0))
                 )
             )
         layer_openings = []
@@ -448,7 +510,7 @@ def fri_prove(
             half = len(values) // 2
             p = pos % half
             layer_openings.append(
-                LayerOpening(values[p], values[p + half], tuple(tree.path(p)))
+                LayerOpening(int(values[p]), int(values[p + half]), tuple(tree.path(p)))
             )
             pos = p
         queries.append(FriQuery(tuple(input_openings), tuple(layer_openings)))

@@ -51,10 +51,13 @@ from ..r1cs.domain import ROOTS
 from ..r1cs.r1cs import R1CS
 from ..transcript.challenge import Challenge, derive_dual
 from ..utils.chacha import ChaCha20Rng
+from ..ops import goldilocks_np as glnp
 from .fri import (
     FriParams,
     FriProof,
     FriTranscript,
+    _gl_inverse_array,
+    _gl_powers,
     batch_inverse,
     commit_codeword,
     coset_offset,
@@ -343,23 +346,44 @@ def prove_r1cs_succinct(
     )
     lam = tr.challenge_field(q, b"fri-lambda")
 
-    # combined DEEP quotient over the coset
-    xs = coset_points(offset, omega_n, n0, q)
-    inv_a = batch_inverse([(x - alpha) % q for x in xs], q)
-    inv_b = batch_inverse([(x - beta) % q for x in xs], q)
-    g = [0] * n0
-    lam_pow = 1
-    for k, cw in enumerate(codewords):
-        va = evals[k]
-        vb = evals[4 + k]
-        lam2 = lam_pow * lam % q
-        for i in range(n0):
-            g[i] = (
-                g[i]
-                + lam_pow * ((cw[i] - va) % q) % q * inv_a[i]
-                + lam2 * ((cw[i] - vb) % q) % q * inv_b[i]
-            ) % q
-        lam_pow = lam2 * lam % q
+    # combined DEEP quotient over the coset (vectorized for Goldilocks)
+    if q == glnp.GOLDILOCKS:
+        import numpy as np
+
+        xs_np = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))
+        inv_a = _gl_inverse_array(glnp.gl_sub(xs_np, np.uint64(alpha)))
+        inv_b = _gl_inverse_array(glnp.gl_sub(xs_np, np.uint64(beta)))
+        g = np.zeros(n0, dtype=np.uint64)
+        lam_pow = 1
+        for k, cw in enumerate(codewords):
+            lam2 = lam_pow * lam % q
+            term_a = glnp.gl_mul(
+                glnp.gl_mul(np.uint64(lam_pow), glnp.gl_sub(cw, np.uint64(evals[k]))),
+                inv_a,
+            )
+            term_b = glnp.gl_mul(
+                glnp.gl_mul(np.uint64(lam2), glnp.gl_sub(cw, np.uint64(evals[4 + k]))),
+                inv_b,
+            )
+            g = glnp.gl_add(g, glnp.gl_add(term_a, term_b))
+            lam_pow = lam2 * lam % q
+    else:
+        xs = coset_points(offset, omega_n, n0, q)
+        inv_a = batch_inverse([(x - alpha) % q for x in xs], q)
+        inv_b = batch_inverse([(x - beta) % q for x in xs], q)
+        g = [0] * n0
+        lam_pow = 1
+        for k, cw in enumerate(codewords):
+            va = evals[k]
+            vb = evals[4 + k]
+            lam2 = lam_pow * lam % q
+            for i in range(n0):
+                g[i] = (
+                    g[i]
+                    + lam_pow * ((cw[i] - va) % q) % q * inv_a[i]
+                    + lam2 * ((cw[i] - vb) % q) % q * inv_b[i]
+                ) % q
+            lam_pow = lam2 * lam % q
 
     fri_proof = fri_prove(
         g, list(zip(codewords, trees)), offset, omega_n, q, params, tr

@@ -307,6 +307,66 @@ def test_q45_2adic_limit_enforced(ctx45):
         _check_instance(fake, FriParams(log_blowup=3), 0)
 
 
+# --- vectorized Goldilocks backend ---------------------------------------------
+
+
+def test_goldilocks_fast_lde_matches_golden_pointwise():
+    import numpy as np
+
+    q = NTT_MODULUS
+    rng = random.Random(1)
+    coeffs = [rng.randrange(q) for _ in range(32)]
+    n = 128
+    offset = fri.coset_offset(q)
+    omega = fri.root_of_order(q, n)
+    fast = fri.lde(coeffs, n, offset, omega, q)
+    assert isinstance(fast, np.ndarray)  # the vectorized path was taken
+    pts = fri.coset_points(offset, omega, n, q)
+    for i in (0, 1, 63, 127):
+        assert int(fast[i]) == polyops.poly_eval(coeffs, pts[i], q)
+    # GoldilocksNtt's omega ladder must match root_of_order (the lde
+    # dispatch silently relies on it)
+    from lambda_snark_tpu.ops.goldilocks_np import goldilocks_ntt
+
+    assert goldilocks_ntt(n).omega == omega
+
+
+def test_goldilocks_fast_fold_matches_golden():
+    import numpy as np
+    from lambda_snark_tpu.core import field
+
+    q = NTT_MODULUS
+    rng = random.Random(2)
+    n = 64
+    offset = fri.coset_offset(q)
+    omega = fri.root_of_order(q, n)
+    values = [rng.randrange(q) for _ in range(n)]
+    c = rng.randrange(q)
+    fast = fri._fold_codeword(np.array(values, dtype=np.uint64), offset, omega, c, q)
+    xs = fri.coset_points(offset, omega, n // 2, q)
+    inv2 = field.mod_inverse(2, q)
+    for i in range(n // 2):
+        lo, hi = values[i], values[i + n // 2]
+        golden = (
+            ((lo + hi) + c * ((lo - hi) % q) % q * field.mod_inverse(xs[i], q))
+            % q * inv2 % q
+        )
+        assert int(fast[i]) == golden
+
+
+def test_goldilocks_inverse_array():
+    import numpy as np
+
+    q = NTT_MODULUS
+    vals = np.array([1, 2, 3, q - 1, 12345678901234567], dtype=np.uint64)
+    invs = fri._gl_inverse_array(vals)
+    from lambda_snark_tpu.ops.goldilocks_np import gl_mul
+
+    assert all(int(x) == 1 for x in gl_mul(vals, invs))
+    with pytest.raises(DomainError):
+        fri._gl_inverse_array(np.array([1, 0], dtype=np.uint64))
+
+
 # --- zero-knowledge variant ---------------------------------------------------
 
 
