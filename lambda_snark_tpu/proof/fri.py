@@ -202,6 +202,37 @@ def lde(coeffs: Sequence[int], n: int, offset: int, omega: int, q: int) -> List[
     return ntt_forward(twisted, q, omega)
 
 
+def lde_batch_device(polys: Sequence[Sequence[int]], n: int, offset: int, q: int):
+    """Batched Reed–Solomon encoding on the accelerator (Goldilocks only).
+
+    The offset twist happens host-side (vectorized uint64), the batch of
+    cyclic NTTs runs as ONE device dispatch through the four-step
+    digit-plane pipeline (``ops/ntt_large.py``) — the same transform the
+    MXU paths accelerate at m=2^20. Bit-exact with ``lde`` (asserted in
+    tests); used by ``prove_r1cs_succinct(device_lde=True)``.
+    """
+    if q != glnp.GOLDILOCKS:
+        raise DomainError("device LDE is implemented for the Goldilocks modulus")
+    import jax.numpy as jnp
+
+    from ..ops import limb
+    from ..ops.ntt_large import four_step_plan, ntt_forward_large
+
+    tw_pows = _gl_powers(offset, n)
+    batch = np.zeros((len(polys), n), dtype=np.uint64)
+    for i, coeffs in enumerate(polys):
+        if len(coeffs) > n:
+            raise DomainError(
+                f"polynomial length {len(coeffs)} exceeds codeword size {n}"
+            )
+        batch[i, : len(coeffs)] = np.array([c % q for c in coeffs], dtype=np.uint64)
+    twisted = glnp.gl_mul(batch, tw_pows[None, :])
+    planes = limb.to_limbs(twisted, limb.digits_for(q))
+    fsp = four_step_plan(n, q, root_of_order(q, n))
+    out = ntt_forward_large(fsp, jnp.asarray(planes))
+    return list(limb.from_limbs_u64(np.asarray(out)))
+
+
 def commit_codeword(values: Sequence[int]) -> MerkleTree:
     """Merkle-commit a codeword with paired leaves (i, i + N/2)."""
     n = len(values)

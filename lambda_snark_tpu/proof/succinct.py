@@ -287,8 +287,14 @@ def prove_r1cs_succinct(
     fri_params: Optional[FriParams] = None,
     blinding_seed: Optional[int] = None,
     rng: Optional[ChaCha20Rng] = None,
+    device_lde: bool = False,
 ) -> SuccinctProofR1CS:
-    """Prove R1CS satisfaction with succinct, binding, optionally ZK openings."""
+    """Prove R1CS satisfaction with succinct, binding, optionally ZK openings.
+
+    ``device_lde=True`` (Goldilocks only) runs the four Reed–Solomon
+    encodings as one batched device NTT dispatch; the proof bytes are
+    identical to the host path.
+    """
     params = fri_params or FriParams()
     params.validate()
     q = r1cs.modulus
@@ -324,7 +330,12 @@ def prove_r1cs_succinct(
         a_t, b_t, c_t, q_t = a_poly, b_poly, c_poly, q_coeffs
 
     polys = [a_t, b_t, c_t, q_t]
-    codewords = [lde(p, n0, offset, omega_n, q) for p in polys]
+    if device_lde:
+        from .fri import lde_batch_device
+
+        codewords = lde_batch_device(polys, n0, offset, q)
+    else:
+        codewords = [lde(p, n0, offset, omega_n, q) for p in polys]
     trees = [commit_codeword(cw) for cw in codewords]
     roots = [t.root for t in trees]
 

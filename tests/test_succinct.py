@@ -354,6 +354,33 @@ def test_goldilocks_fast_fold_matches_golden():
         assert int(fast[i]) == golden
 
 
+def test_device_lde_bit_exact_and_proof_identical():
+    """lde_batch_device must produce byte-identical proofs to the host path
+    (CPU JAX backend; the conftest pins the platform)."""
+    q = NTT_MODULUS
+    m = 8
+    r1cs = mult_circuit(m, q)
+    w = mult_witness(m, q)
+    ctx = setup(Params(SecurityLevel.BITS128, Profile.ring_b(64, 1, q, 3.19)))
+    host = prove_r1cs_succinct(r1cs, w, ctx, seed=3, fri_params=FAST)
+    dev = prove_r1cs_succinct(r1cs, w, ctx, seed=3, fri_params=FAST,
+                              device_lde=True)
+    assert dev.to_bytes() == host.to_bytes()
+    # direct codeword equality on a standalone polynomial
+    coeffs = [5, 4, 3, 2, 1]
+    n = 64
+    offset = fri.coset_offset(q)
+    omega = fri.root_of_order(q, n)
+    host_cw = fri.lde(coeffs, n, offset, omega, q)
+    (dev_cw,) = fri.lde_batch_device([coeffs], n, offset, q)
+    assert [int(v) for v in dev_cw] == [int(v) for v in host_cw]
+
+
+def test_device_lde_rejects_non_goldilocks():
+    with pytest.raises(DomainError):
+        fri.lde_batch_device([[1, 2]], 16, 3, Q45)
+
+
 def test_goldilocks_inverse_array():
     import numpy as np
 
