@@ -443,6 +443,75 @@ def test_zk_leaf_values_differ_from_plain_codewords(ctx45):
     assert not plain_vals & zk_vals
 
 
+# --- the gap being closed -------------------------------------------------------
+
+
+def test_base_mode_eval_forgery_vs_succinct(ctx45):
+    """Document the claimed-evaluation gap (reference parity) and its fix.
+
+    Base mode: a prover with NO witness can forge an accepted ProofR1CS by
+    solving the verifier equation for the free evaluation claims (the
+    reference binds A_z/B_z/C_z to nothing — SURVEY §2.2 R11). The succinct
+    mode makes the same strategy fail: the claims must open against
+    committed low-degree polynomials.
+    """
+    from lambda_snark_tpu import ProofR1CS, prove_r1cs, verify_r1cs
+    from lambda_snark_tpu.commit import lwe
+    from lambda_snark_tpu.core import field
+    from lambda_snark_tpu.proof.types import EvalOpening
+    from lambda_snark_tpu.transcript.challenge import derive_dual
+
+    r1cs = mult_circuit(8, Q45)
+    q = Q45
+    # commit to garbage (no witness exists for these "evaluations")
+    commitment, _ = lwe.commit(ctx45, [12345] * 8, seed=99)
+    public = [1]
+    ch_a, ch_b = derive_dual(public, commitment.as_words(), q)
+    zh_a = r1cs.eval_vanishing(ch_a.alpha)
+    zh_b = r1cs.eval_vanishing(ch_b.alpha)
+    # pick arbitrary a, b, c claims and SOLVE for the q claims
+    a_a, b_a, c_a = 11, 22, 33
+    a_b, b_b, c_b = 44, 55, 66
+    q_a = field.mul_mod(
+        field.sub_mod(field.mul_mod(a_a, b_a, q), c_a, q),
+        field.mod_inverse(zh_a, q), q,
+    )
+    q_b = field.mul_mod(
+        field.sub_mod(field.mul_mod(a_b, b_b, q), c_b, q),
+        field.mod_inverse(zh_b, q), q,
+    )
+    forged = ProofR1CS(
+        commitment_q=commitment,
+        challenge_alpha=ch_a,
+        challenge_beta=ch_b,
+        q_alpha=q_a, q_beta=q_b,
+        a_z_alpha=a_a, b_z_alpha=b_a, c_z_alpha=c_a,
+        a_z_beta=a_b, b_z_beta=b_b, c_z_beta=c_b,
+        opening_alpha=EvalOpening(evaluation=q_a),
+        opening_beta=EvalOpening(evaluation=q_b),
+        modulus=q,
+    )
+    # base mode ACCEPTS the forgery (documented reference-parity behavior)
+    assert verify_r1cs(forged, public, r1cs)
+
+    # the same free-claim strategy on the succinct verifier fails: claims
+    # must be consistent with committed codewords at the FRI queries.
+    # Take a valid succinct proof and re-solve its q_alpha for altered
+    # a_alpha exactly as above — structurally valid, FRI-inconsistent.
+    w = mult_witness(8, Q45)
+    honest = prove_r1cs_succinct(r1cs, w, ctx45, seed=1, fri_params=FAST)
+    zh_alpha = r1cs.eval_vanishing(honest.challenge_alpha.alpha)
+    a_new = (honest.a_alpha + 5) % q
+    q_new = field.mul_mod(
+        field.sub_mod(field.mul_mod(a_new, honest.b_alpha, q),
+                      honest.c_alpha, q),
+        field.mod_inverse(zh_alpha, q), q,
+    )
+    forged_s = dataclasses.replace(honest, a_alpha=a_new, q_alpha=q_new)
+    assert not verify_r1cs_succinct(forged_s, r1cs.public_inputs(w), r1cs,
+                                    min_params=FAST)
+
+
 # --- serialization robustness --------------------------------------------------
 
 
