@@ -233,14 +233,54 @@ def lde_batch_device(polys: Sequence[Sequence[int]], n: int, offset: int, q: int
     return list(limb.from_limbs_u64(np.asarray(out)))
 
 
+#: below this many leaves a host hashlib loop beats a device dispatch
+_DEVICE_HASH_MIN_HALF = 4096
+
+#: module knob (tests flip it to pin host/device tree equality)
+DEVICE_HASH = True
+
+
 def commit_codeword(values: Sequence[int]) -> MerkleTree:
-    """Merkle-commit a codeword with paired leaves (i, i + N/2)."""
+    """Merkle-commit a codeword with paired leaves (i, i + N/2).
+
+    Large uint64 codewords (the Goldilocks vectorized path) hash on the
+    accelerator via the batched Keccak kernel (``ops/keccak_jax.py``);
+    the tree is bit-identical either way.
+    """
     n = len(values)
     half = n // 2
+    if (
+        DEVICE_HASH
+        and isinstance(values, np.ndarray)
+        and values.dtype == np.uint64
+        and half >= _DEVICE_HASH_MIN_HALF
+    ):
+        return MerkleTree.from_u64_pairs(values[:half], values[half:])
     leaves = [
         struct.pack("<QQ", values[i], values[i + half]) for i in range(half)
     ]
     return MerkleTree(leaves)
+
+
+def commit_codewords(codewords: Sequence[Sequence[int]]) -> List[MerkleTree]:
+    """Merkle-commit several equal-size codewords, batching all device
+    hashing into one dispatch when the vectorized path applies."""
+    from .merkle import build_forest_u64_pairs
+
+    if (
+        DEVICE_HASH
+        and codewords
+        and all(
+            isinstance(cw, np.ndarray) and cw.dtype == np.uint64
+            for cw in codewords
+        )
+        and len({len(cw) for cw in codewords}) == 1
+        and len(codewords[0]) // 2 >= _DEVICE_HASH_MIN_HALF
+    ):
+        stacked = np.stack(codewords)
+        half = stacked.shape[1] // 2
+        return build_forest_u64_pairs(stacked[:, :half], stacked[:, half:])
+    return [commit_codeword(cw) for cw in codewords]
 
 
 # --- Fiat-Shamir transcript ---------------------------------------------------

@@ -336,7 +336,9 @@ def prove_r1cs_succinct(
         codewords = lde_batch_device(polys, n0, offset, q)
     else:
         codewords = [lde(p, n0, offset, omega_n, q) for p in polys]
-    trees = [commit_codeword(cw) for cw in codewords]
+    from .fri import commit_codewords
+
+    trees = commit_codewords(codewords)
     roots = [t.root for t in trees]
 
     # The lattice layer commits the *unmasked* quotient (LWE commitments are
