@@ -188,7 +188,12 @@ def lde(coeffs: Sequence[int], n: int, offset: int, omega: int, q: int) -> List[
         raise DomainError(f"polynomial length {len(coeffs)} exceeds codeword size {n}")
     if q == glnp.GOLDILOCKS:
         padded_np = np.zeros(n, dtype=np.uint64)
-        padded_np[: len(coeffs)] = np.array([c % q for c in coeffs], dtype=np.uint64)
+        if isinstance(coeffs, np.ndarray) and coeffs.dtype == np.uint64:
+            padded_np[: len(coeffs)] = coeffs  # already reduced
+        else:
+            padded_np[: len(coeffs)] = np.array(
+                [c % q for c in coeffs], dtype=np.uint64
+            )
         twisted_np = glnp.gl_mul(padded_np, _gl_powers(offset, n))
         # GoldilocksNtt(n).omega == root_of_order(GOLDILOCKS, n): same 2^32
         # primitive-root ladder — asserted in tests/test_succinct.py
@@ -225,7 +230,12 @@ def lde_batch_device(polys: Sequence[Sequence[int]], n: int, offset: int, q: int
             raise DomainError(
                 f"polynomial length {len(coeffs)} exceeds codeword size {n}"
             )
-        batch[i, : len(coeffs)] = np.array([c % q for c in coeffs], dtype=np.uint64)
+        if isinstance(coeffs, np.ndarray) and coeffs.dtype == np.uint64:
+            batch[i, : len(coeffs)] = coeffs  # already reduced
+        else:
+            batch[i, : len(coeffs)] = np.array(
+                [c % q for c in coeffs], dtype=np.uint64
+            )
     twisted = glnp.gl_mul(batch, tw_pows[None, :])
     planes = limb.to_limbs(twisted, limb.digits_for(q))
     fsp = four_step_plan(n, q, root_of_order(q, n))

@@ -82,6 +82,109 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length() if n > 1 else 1
 
 
+# --- vectorized Goldilocks front-end -------------------------------------------
+#
+# For Goldilocks roots-domain circuits every polynomial step before the FRI
+# layer (interpolation, odd-coset quotient, mask composition, evaluation)
+# runs on the vectorized uint64 kernels instead of Python-int loops —
+# bit-identical proof bytes (pinned in tests/test_succinct.py). The generic
+# path stays as the golden oracle and serves the other NTT fields.
+
+#: module knob (tests flip it to pin fast/golden byte equality)
+GL_FAST_FRONTEND = True
+
+import numpy as np
+
+from .fri import _gl_powers
+
+
+def _gl_frontend_applicable(r1cs: R1CS) -> bool:
+    if not GL_FAST_FRONTEND or r1cs.modulus != glnp.GOLDILOCKS:
+        return False
+    if r1cs.domain.kind != ROOTS or r1cs.m & (r1cs.m - 1) or r1cs.m < 2:
+        return False
+    return glnp.goldilocks_ntt(r1cs.m).omega == r1cs.domain.omega % r1cs.modulus
+
+
+def _gl_trim(p: np.ndarray) -> np.ndarray:
+    nz = np.nonzero(p)[0]
+    end = int(nz[-1]) + 1 if len(nz) else 1
+    return p[:end]
+
+
+def _gl_quotient_and_interpolations(r1cs: R1CS, witness: Sequence[int]):
+    """(Q, A_z, B_z, C_z) as uint64 arrays; Q trimmed like the host path.
+
+    Mirrors ``R1CS.compute_quotient_poly`` (odd-coset formulation,
+    ``r1cs/r1cs.py::_quotient_odd_coset``) + ``R1CS.interpolations`` exactly.
+    """
+    from ..core.errors import InvalidWitnessError
+
+    q = r1cs.modulus
+    az, bz, cz = r1cs.compute_constraint_evals(witness)
+    az = np.array(az, dtype=np.uint64)
+    bz = np.array(bz, dtype=np.uint64)
+    cz = np.array(cz, dtype=np.uint64)
+    if bool(glnp.gl_sub(glnp.gl_mul(az, bz), cz).any()):
+        raise InvalidWitnessError("witness does not satisfy R1CS constraints")
+    ntt = glnp.goldilocks_ntt(r1cs.m)
+    a_poly = ntt.inverse(az)
+    b_poly = ntt.inverse(bz)
+    c_poly = ntt.inverse(cz)
+    # odd coset psi*<omega>: Z_H === -2 there, so Q_hat = (A.B - C) / (-2)
+    a_odd = ntt.forward_negacyclic(a_poly)
+    b_odd = ntt.forward_negacyclic(b_poly)
+    c_odd = ntt.forward_negacyclic(c_poly)
+    neg_half_inv = np.uint64(glnp.gl_inv(q - 2))
+    q_odd = glnp.gl_mul(
+        glnp.gl_sub(glnp.gl_mul(a_odd, b_odd), c_odd), neg_half_inv
+    )
+    q_coeffs = glnp.gl_mul(ntt.inverse(q_odd), ntt._psi_inv_pows)
+    return _gl_trim(q_coeffs), a_poly, b_poly, c_poly
+
+
+def _gl_poly_eval(p: np.ndarray, x: int) -> int:
+    """p(x) mod Goldilocks: power ladder + pairwise tree reduction."""
+    if len(p) == 0:
+        return 0
+    terms = glnp.gl_mul(np.asarray(p, dtype=np.uint64), _gl_powers(x, len(p)))
+    while len(terms) > 1:
+        if len(terms) & 1:
+            terms = np.concatenate([terms, np.zeros(1, dtype=np.uint64)])
+        terms = glnp.gl_add(terms[0::2], terms[1::2])
+    return int(terms[0])
+
+
+def _gl_conv(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact polynomial product via a cyclic NTT of padded size."""
+    out_len = len(a) + len(b) - 1
+    s = _next_pow2(out_len)
+    ntt = glnp.goldilocks_ntt(max(s, 2))
+    pa = np.zeros(ntt.n, dtype=np.uint64)
+    pa[: len(a)] = a
+    pb = np.zeros(ntt.n, dtype=np.uint64)
+    pb[: len(b)] = b
+    return ntt.inverse(glnp.gl_mul(ntt.forward(pa), ntt.forward(pb)))[:out_len]
+
+
+def _gl_zh_mul(rho: np.ndarray, m: int) -> np.ndarray:
+    """(X^m - 1) * rho, vectorized (Z_H is the roots-domain vanishing poly)."""
+    out = np.zeros(m + len(rho), dtype=np.uint64)
+    out[m:] = rho
+    out[: len(rho)] = glnp.gl_sub(out[: len(rho)], rho)
+    return out
+
+
+def _gl_add_padded(*polys: np.ndarray) -> np.ndarray:
+    n = max(len(p) for p in polys)
+    acc = np.zeros(n, dtype=np.uint64)
+    for p in polys:
+        padded = np.zeros(n, dtype=np.uint64)
+        padded[: len(p)] = p
+        acc = glnp.gl_add(acc, padded)
+    return acc
+
+
 def _degree_bound(m: int, mask_len: int) -> int:
     """Shared prover/verifier formula: smallest power of two covering every
     committed polynomial (max length is ``m + 2*mask_len``, reached by Q~'s
@@ -164,7 +267,7 @@ class SuccinctProofR1CS:
 
     @staticmethod
     def from_bytes(data: bytes) -> "SuccinctProofR1CS":
-        import numpy as np
+
 
         if len(data) < 9 or data[:8] != _MAGIC or data[8] != KIND_R1CS_SUCCINCT:
             raise SerializationError("bad succinct-proof header")
@@ -303,8 +406,14 @@ def prove_r1cs_succinct(
     d_bound, n0, omega_n = _check_instance(r1cs, params, mask_len)
     offset = coset_offset(q)
 
-    q_coeffs = r1cs.compute_quotient_poly(witness)  # validates the witness
-    a_poly, b_poly, c_poly = r1cs.interpolations(witness)
+    gl_fast = _gl_frontend_applicable(r1cs)
+    if gl_fast:
+        q_coeffs, a_poly, b_poly, c_poly = _gl_quotient_and_interpolations(
+            r1cs, witness
+        )
+    else:
+        q_coeffs = r1cs.compute_quotient_poly(witness)  # validates the witness
+        a_poly, b_poly, c_poly = r1cs.interpolations(witness)
 
     if zk:
         if rng is None:
@@ -316,16 +425,33 @@ def prove_r1cs_succinct(
                 rng = ChaCha20Rng(secrets.token_bytes(32))
         masks = [[rng.next_u64() % q for _ in range(mask_len)] for _ in range(3)]
         rho_a, rho_b, rho_c = masks
-        z_h = r1cs.domain.vanishing_poly()
-        a_t = polyops.poly_add(a_poly, polyops.poly_mul(z_h, rho_a, q), q)
-        b_t = polyops.poly_add(b_poly, polyops.poly_mul(z_h, rho_b, q), q)
-        c_t = polyops.poly_add(c_poly, polyops.poly_mul(z_h, rho_c, q), q)
-        q_t = polyops.poly_add(q_coeffs, polyops.poly_mul(rho_a, b_poly, q), q)
-        q_t = polyops.poly_add(q_t, polyops.poly_mul(rho_b, a_poly, q), q)
-        q_t = polyops.poly_add(
-            q_t, polyops.poly_mul(z_h, polyops.poly_mul(rho_a, rho_b, q), q), q
-        )
-        q_t = polyops.poly_sub(q_t, rho_c, q)
+        if gl_fast:
+            rho_a_v = np.array(rho_a, dtype=np.uint64)
+            rho_b_v = np.array(rho_b, dtype=np.uint64)
+            rho_c_v = np.array(rho_c, dtype=np.uint64)
+            a_t = _gl_add_padded(a_poly, _gl_zh_mul(rho_a_v, m))
+            b_t = _gl_add_padded(b_poly, _gl_zh_mul(rho_b_v, m))
+            c_t = _gl_add_padded(c_poly, _gl_zh_mul(rho_c_v, m))
+            q_t = _gl_add_padded(
+                q_coeffs,
+                _gl_conv(rho_a_v, b_poly),
+                _gl_conv(rho_b_v, a_poly),
+                _gl_zh_mul(_gl_conv(rho_a_v, rho_b_v), m),
+                glnp.gl_neg(rho_c_v),
+            )
+        else:
+            z_h = r1cs.domain.vanishing_poly()
+            a_t = polyops.poly_add(a_poly, polyops.poly_mul(z_h, rho_a, q), q)
+            b_t = polyops.poly_add(b_poly, polyops.poly_mul(z_h, rho_b, q), q)
+            c_t = polyops.poly_add(c_poly, polyops.poly_mul(z_h, rho_c, q), q)
+            q_t = polyops.poly_add(
+                q_coeffs, polyops.poly_mul(rho_a, b_poly, q), q
+            )
+            q_t = polyops.poly_add(q_t, polyops.poly_mul(rho_b, a_poly, q), q)
+            q_t = polyops.poly_add(
+                q_t, polyops.poly_mul(z_h, polyops.poly_mul(rho_a, rho_b, q), q), q
+            )
+            q_t = polyops.poly_sub(q_t, rho_c, q)
     else:
         a_t, b_t, c_t, q_t = a_poly, b_poly, c_poly, q_coeffs
 
@@ -350,9 +476,14 @@ def prove_r1cs_succinct(
     ch_alpha, ch_beta = derive_dual(public_inputs, comm_words, q)
     alpha, beta = ch_alpha.alpha, ch_beta.alpha
 
-    evals = [polyops.poly_eval(p, alpha, q) for p in polys] + [
-        polyops.poly_eval(p, beta, q) for p in polys
-    ]
+    if gl_fast:
+        evals = [_gl_poly_eval(p, alpha) for p in polys] + [
+            _gl_poly_eval(p, beta) for p in polys
+        ]
+    else:
+        evals = [polyops.poly_eval(p, alpha, q) for p in polys] + [
+            polyops.poly_eval(p, beta, q) for p in polys
+        ]
 
     tr = _seed_fri_transcript(
         q, m, mask_len, params, d_bound, roots, alpha, beta, evals
@@ -361,7 +492,7 @@ def prove_r1cs_succinct(
 
     # combined DEEP quotient over the coset (vectorized for Goldilocks)
     if q == glnp.GOLDILOCKS:
-        import numpy as np
+
 
         xs_np = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))
         inv_a = _gl_inverse_array(glnp.gl_sub(xs_np, np.uint64(alpha)))

@@ -523,3 +523,45 @@ def test_truncation_is_typed(proof45):
             SuccinctProofR1CS.from_bytes(blob[:cut])
         except SerializationError:
             pass
+
+
+# --- vectorized Goldilocks front-end -------------------------------------------
+
+
+def test_gl_fast_frontend_bytes_identical(monkeypatch):
+    """The vectorized Goldilocks front-end (interpolation, odd-coset quotient,
+    mask composition, evaluations — proof/succinct.py) produces byte-identical
+    proofs to the generic Python-int path, for both plain and ZK proofs."""
+    from lambda_snark_tpu.proof import succinct as smod
+
+    r1cs = mult_circuit(16, NTT_MODULUS)
+    w = mult_witness(16, NTT_MODULUS, seed=2)
+    ctx = setup(
+        Params(SecurityLevel.BITS128, Profile.ring_b(64, 1, NTT_MODULUS, 3.19))
+    )
+    for zk in (False, True):
+        monkeypatch.setattr(smod, "GL_FAST_FRONTEND", True)
+        assert smod._gl_frontend_applicable(r1cs)
+        fast = prove_r1cs_succinct(
+            r1cs, w, ctx, seed=5, zk=zk, blinding_seed=77, fri_params=FAST
+        )
+        monkeypatch.setattr(smod, "GL_FAST_FRONTEND", False)
+        golden = prove_r1cs_succinct(
+            r1cs, w, ctx, seed=5, zk=zk, blinding_seed=77, fri_params=FAST
+        )
+        assert fast.to_bytes() == golden.to_bytes(), f"zk={zk}"
+        assert verify_r1cs_succinct(fast, [1], r1cs, min_params=FAST)
+
+
+def test_gl_fast_frontend_rejects_bad_witness():
+    from lambda_snark_tpu.core.errors import InvalidWitnessError
+    from lambda_snark_tpu.proof import succinct as smod
+
+    r1cs = mult_circuit(16, NTT_MODULUS)
+    w = mult_witness(16, NTT_MODULUS, seed=2)
+    w[-1] = (w[-1] + 1) % NTT_MODULUS
+    ctx = setup(
+        Params(SecurityLevel.BITS128, Profile.ring_b(64, 1, NTT_MODULUS, 3.19))
+    )
+    with pytest.raises(InvalidWitnessError):
+        prove_r1cs_succinct(r1cs, w, ctx, seed=5, fri_params=FAST)
