@@ -304,6 +304,80 @@ def bench_proofs_per_sec():
     return out
 
 
+def bench_succinct():
+    """Succinct (FRI-bound) proving: device LDE + device Merkle hashing.
+
+    End-to-end wall time (host transcript + device NTT/Keccak dispatches) for
+    an m = 2^13 Goldilocks circuit at the default 30-query / rate-1/8
+    parameters, plus raw device SHA3-256 throughput. Wall timing is honest
+    here: every stage materializes results on host before the next transcript
+    absorb, so there is no async-completion trap.
+    """
+    import random
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lambda_snark_tpu import Params, Profile, SecurityLevel, setup
+    from lambda_snark_tpu.core.params import NTT_MODULUS
+    from lambda_snark_tpu.ops import keccak_jax as kj
+    from lambda_snark_tpu.proof import fri
+    from lambda_snark_tpu.proof.succinct import (
+        prove_r1cs_succinct,
+        verify_r1cs_succinct,
+    )
+    from lambda_snark_tpu.r1cs.circuit import CircuitBuilder
+
+    out = {}
+
+    # raw device SHA3-256 node-hash throughput
+    rng = np.random.default_rng(0)
+    batch = 1 << 19
+    d0 = jnp.asarray(  # lane-major [8 digest words, batch]
+        rng.integers(0, 1 << 32, size=(8, batch), dtype=np.uint64).astype(np.uint32)
+    )
+    per_call = measure_marginal(lambda d: kj.hash_nodes(d, d), d0, k_large=17, iters=5)
+    out["sha3_device_mhash_per_s"] = batch / per_call / 1e6
+
+    m = 1 << 13
+    builder = CircuitBuilder(NTT_MODULUS)
+    builder.alloc_var()
+    xs = builder.alloc_vars(m)
+    ys = builder.alloc_vars(m)
+    builder.set_public_inputs(1)
+    for x, y in zip(xs, ys):
+        builder.mul_gate(x, x, y)
+    r = random.Random(1)
+    vals = [r.randrange(NTT_MODULUS) for _ in range(m)]
+    w = [1] + vals + [v * v % NTT_MODULUS for v in vals]
+    r1cs = builder.build()
+    ctx = setup(
+        Params(SecurityLevel.BITS128, Profile.ring_b(m, 1, NTT_MODULUS, 3.19))
+    )
+    proof = None
+    for tag in ("cold", "warm"):
+        t0 = time.time()
+        proof = prove_r1cs_succinct(r1cs, w, ctx, seed=7, device_lde=True)
+        out[f"succinct_prove_m2pow13_{tag}_s"] = time.time() - t0
+    t0 = time.time()
+    ok = verify_r1cs_succinct(proof, [1], r1cs)
+    out["succinct_verify_m2pow13_s"] = time.time() - t0
+    out["succinct_verify_ok"] = bool(ok)
+    out["succinct_proof_bytes_m2pow13"] = len(proof.to_bytes())
+    # host-hash comparison point (same proof bytes, hashlib trees)
+    fri.DEVICE_HASH = False
+    try:
+        t0 = time.time()
+        p_host = prove_r1cs_succinct(r1cs, w, ctx, seed=7, device_lde=True)
+        out["succinct_prove_m2pow13_hosthash_s"] = time.time() - t0
+        out["succinct_hash_backends_agree"] = bool(
+            p_host.to_bytes() == proof.to_bytes()
+        )
+    finally:
+        fri.DEVICE_HASH = True
+    return out
+
+
 def main():
     # Default env on the sandbox pins the axon (real TPU) platform; honor it.
     try:
@@ -328,7 +402,7 @@ def main():
         extra = None
     print(json.dumps(line))
     if extra is not None:
-        for fn in (bench_secondary, bench_proofs_per_sec):
+        for fn in (bench_secondary, bench_proofs_per_sec, bench_succinct):
             try:
                 extra.update(fn())
             except Exception as e:  # noqa: BLE001 - secondary metrics best-effort

@@ -6,20 +6,24 @@ hundreds of thousands of tiny fixed-shape messages per codeword — a leaf is
 (``0x01 || left || right``); both fit in a single SHA3-256 rate block
 (136 bytes). That makes the whole tree one embarrassingly-parallel batch of
 Keccak-f[1600] permutations: exactly the shape the TPU VPU wants, and the
-device-side counterpart of the host ``hashlib`` path (reference keeps all
+device-side counterpart of the host ``hashlib`` path (the reference keeps all
 hashing host-side because it has no vector-commitment layer at all —
 ``opening.rs:104-115``).
 
 TPU-native design notes:
 
 - No 64-bit integers on TPU: each 64-bit Keccak lane travels as a
-  (lo, hi) pair of uint32 planes, state shape ``[..., 25]`` per plane.
+  (lo, hi) pair of uint32 planes.
+- **Lane-major layout**: state shape is ``[25, ...batch]`` — the 25 Keccak
+  lanes live on the leading (sublane) axis and the batch fills the 128-wide
+  vector-lane axis. The batch-major layout ``[batch, 25]`` wastes 80% of
+  every vector register (25/128 lane occupancy); lane-major keeps the VPU
+  fully fed and turns the rho/pi/chi gathers into static row reorders.
 - Lane rotations use static per-lane shift vectors; the cross-word rotate
   composes two legal sub-32 shifts (``(x >> 1) >> (31 - r)``) so no shift
   amount ever reaches the UB-on-XLA width 32.
-- theta/rho/pi/chi are gathers + elementwise ops with *static* index
-  tables — 24 unrolled rounds, ~500 fused VPU ops total, no
-  data-dependent control flow.
+- theta/rho/pi/chi are static-index row ops — 24 unrolled rounds, ~500
+  fused VPU ops total, no data-dependent control flow.
 
 Bit-exactness vs ``hashlib.sha3_256`` is asserted in
 ``tests/test_keccak.py`` for both message shapes and the generic
@@ -68,17 +72,22 @@ _CHI_2 = np.array([(i % 5 + 2) % 5 + 5 * (i // 5) for i in range(25)], dtype=np.
 _RATE_WORDS = 34  # SHA3-256 rate = 136 bytes = 34 uint32 words = 17 lanes
 
 
+def _bcast(r: np.ndarray, ndim: int):
+    """Shape a static per-lane vector [25] for lane-major broadcasting."""
+    return r.reshape((len(r),) + (1,) * (ndim - 1))
+
+
 def _rotl_pair(lo, hi, r):
     """Rotate-left the 64-bit lanes (lo, hi) by static per-lane amounts r.
 
-    r is a numpy uint32 vector broadcast over the batch; all shift amounts
+    r is a numpy uint32 vector over the leading lane axis; all shift amounts
     stay in [0, 31] by construction (the 32-shift composes two sub-shifts).
     """
     import jax.numpy as jnp
 
-    swap = (r >= 32)
-    rp = (r % 32).astype(np.uint32)
-    inv = (31 - rp).astype(np.uint32)  # in [0, 31]; pairs with the extra >> 1
+    swap = _bcast((r >= 32), lo.ndim)
+    rp = _bcast((r % 32).astype(np.uint32), lo.ndim)
+    inv = _bcast((31 - (r % 32)).astype(np.uint32), lo.ndim)  # in [0, 31]
     swap_b = jnp.asarray(swap)
     lo1 = jnp.where(swap_b, hi, lo)
     hi1 = jnp.where(swap_b, lo, hi)
@@ -92,58 +101,55 @@ def _rotl_pair(lo, hi, r):
 def keccak_f(lo, hi):
     """Keccak-f[1600] on a batch of states.
 
-    lo/hi: uint32 arrays of shape [..., 25] (lane i = x + 5y, little-endian
-    64-bit lane split into 32-bit planes). Returns the permuted planes.
+    lo/hi: uint32 arrays of shape [25, ...batch] (lane i = x + 5y on the
+    LEADING axis, little-endian 64-bit lane split into 32-bit planes).
+    Returns the permuted planes.
     """
     import jax.numpy as jnp
 
     rot1 = np.uint32(1)
     rot31 = np.uint32(31)
+    tile_reps = (5,) + (1,) * (lo.ndim - 1)
     for rc in _RC:
         # theta: C[x] = xor over y of A[x, y]; lane i = x + 5y, so the y-rows
-        # are the contiguous 5-slices
-        c_lo = lo[..., 0:5] ^ lo[..., 5:10] ^ lo[..., 10:15] ^ lo[..., 15:20] ^ lo[..., 20:25]
-        c_hi = hi[..., 0:5] ^ hi[..., 5:10] ^ hi[..., 10:15] ^ hi[..., 15:20] ^ hi[..., 20:25]
+        # are the contiguous 5-slices on the lane axis
+        c_lo = lo[0:5] ^ lo[5:10] ^ lo[10:15] ^ lo[15:20] ^ lo[20:25]
+        c_hi = hi[0:5] ^ hi[5:10] ^ hi[10:15] ^ hi[15:20] ^ hi[20:25]
         c1_lo = (c_lo << rot1) | (c_hi >> rot31)
         c1_hi = (c_hi << rot1) | (c_lo >> rot31)
-        d_lo = jnp.roll(c_lo, 1, axis=-1) ^ jnp.roll(c1_lo, -1, axis=-1)
-        d_hi = jnp.roll(c_hi, 1, axis=-1) ^ jnp.roll(c1_hi, -1, axis=-1)
-        dx_lo = jnp.tile(d_lo, 5)
-        dx_hi = jnp.tile(d_hi, 5)
-        lo = lo ^ dx_lo
-        hi = hi ^ dx_hi
+        d_lo = jnp.roll(c_lo, 1, axis=0) ^ jnp.roll(c1_lo, -1, axis=0)
+        d_hi = jnp.roll(c_hi, 1, axis=0) ^ jnp.roll(c1_hi, -1, axis=0)
+        lo = lo ^ jnp.tile(d_lo, tile_reps)
+        hi = hi ^ jnp.tile(d_hi, tile_reps)
         # rho
         r_lo, r_hi = _rotl_pair(lo, hi, _ROT)
-        # pi
-        b_lo = r_lo[..., _PI_SRC]
-        b_hi = r_hi[..., _PI_SRC]
+        # pi (static row reorder)
+        b_lo = r_lo[_PI_SRC]
+        b_hi = r_hi[_PI_SRC]
         # chi
-        lo = b_lo ^ (~b_lo[..., _CHI_1] & b_lo[..., _CHI_2])
-        hi = b_hi ^ (~b_hi[..., _CHI_1] & b_hi[..., _CHI_2])
+        lo = b_lo ^ (~b_lo[_CHI_1] & b_lo[_CHI_2])
+        hi = b_hi ^ (~b_hi[_CHI_1] & b_hi[_CHI_2])
         # iota
-        lo = lo.at[..., 0].set(lo[..., 0] ^ np.uint32(rc & 0xFFFFFFFF))
-        hi = hi.at[..., 0].set(hi[..., 0] ^ np.uint32(rc >> 32))
+        lo = lo.at[0].set(lo[0] ^ np.uint32(rc & 0xFFFFFFFF))
+        hi = hi.at[0].set(hi[0] ^ np.uint32(rc >> 32))
     return lo, hi
 
 
 def sha3_256_single_block(words):
     """SHA3-256 of a batch of pre-padded single-rate-block messages.
 
-    words: uint32 [..., 34] — the 136-byte padded block as little-endian
-    words (caller applies the 0x06 ... 0x80 padding). Returns uint32
-    [..., 8]: the 32-byte digest as LE words.
+    words: uint32 [34, ...batch] — the 136-byte padded block as little-endian
+    words on the LEADING axis (caller applies the 0x06 ... 0x80 padding).
+    Returns uint32 [8, ...batch]: the 32-byte digest as LE words.
     """
     import jax.numpy as jnp
 
-    lo = jnp.zeros(words.shape[:-1] + (25,), dtype=jnp.uint32)
-    hi = jnp.zeros(words.shape[:-1] + (25,), dtype=jnp.uint32)
-    lo = lo.at[..., :17].set(words[..., 0::2])
-    hi = hi.at[..., :17].set(words[..., 1::2])
+    zeros = jnp.zeros((8,) + words.shape[1:], dtype=jnp.uint32)
+    lo = jnp.concatenate([words[0::2], zeros], axis=0)
+    hi = jnp.concatenate([words[1::2], zeros], axis=0)
     lo, hi = keccak_f(lo, hi)
     digest = jnp.stack(
-        [lo[..., 0], hi[..., 0], lo[..., 1], hi[..., 1],
-         lo[..., 2], hi[..., 2], lo[..., 3], hi[..., 3]],
-        axis=-1,
+        [lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], lo[3], hi[3]], axis=0
     )
     return digest
 
@@ -151,8 +157,8 @@ def sha3_256_single_block(words):
 def leaf_block_words(a0, a1, b0, b1):
     """Padded block for a Merkle leaf ``0x00 || pack("<QQ", v_lo, v_hi)``.
 
-    a0/a1 = v_lo as (low, high) uint32; b0/b1 = v_hi. Shapes broadcast;
-    returns uint32 [..., 34].
+    a0/a1 = v_lo as (low, high) uint32 batches; b0/b1 = v_hi. Returns
+    uint32 [34, ...batch].
     """
     import jax.numpy as jnp
 
@@ -165,39 +171,39 @@ def leaf_block_words(a0, a1, b0, b1):
     w[3] = (b0 >> jnp.uint32(24)) | (b1 << jnp.uint32(8))
     w[4] = (b1 >> jnp.uint32(24)) | jnp.uint32(0x06 << 8)
     w[33] = jnp.full_like(a0, jnp.uint32(0x80000000))
-    return jnp.stack(w, axis=-1)
+    return jnp.stack(w, axis=0)
 
 
 def node_block_words(left, right):
     """Padded block for an interior node ``0x01 || left || right``.
 
-    left/right: uint32 [..., 8] digest words. Returns uint32 [..., 34].
+    left/right: uint32 [8, ...batch] digest words. Returns uint32
+    [34, ...batch].
     """
     import jax.numpy as jnp
 
     m24 = jnp.uint32(0x00FFFFFF)
-    z = jnp.zeros_like(left[..., 0])
+    z = jnp.zeros_like(left[0])
     w = [z] * _RATE_WORDS
-    w[0] = ((left[..., 0] & m24) << jnp.uint32(8)) | jnp.uint32(0x01)
+    w[0] = ((left[0] & m24) << jnp.uint32(8)) | jnp.uint32(0x01)
     for k in range(1, 8):
-        w[k] = (left[..., k - 1] >> jnp.uint32(24)) | (left[..., k] << jnp.uint32(8))
-    w[8] = (left[..., 7] >> jnp.uint32(24)) | (right[..., 0] << jnp.uint32(8))
+        w[k] = (left[k - 1] >> jnp.uint32(24)) | (left[k] << jnp.uint32(8))
+    w[8] = (left[7] >> jnp.uint32(24)) | (right[0] << jnp.uint32(8))
     for k in range(9, 16):
-        w[k] = (right[..., k - 9] >> jnp.uint32(24)) | (
-            right[..., k - 8] << jnp.uint32(8)
-        )
-    w[16] = (right[..., 7] >> jnp.uint32(24)) | jnp.uint32(0x06 << 8)
+        w[k] = (right[k - 9] >> jnp.uint32(24)) | (right[k - 8] << jnp.uint32(8))
+    w[16] = (right[7] >> jnp.uint32(24)) | jnp.uint32(0x06 << 8)
     w[33] = jnp.full_like(z, jnp.uint32(0x80000000))
-    return jnp.stack(w, axis=-1)
+    return jnp.stack(w, axis=0)
 
 
 def hash_leaves(a0, a1, b0, b1):
-    """Digest words [..., 8] for Merkle leaves from uint32 value planes."""
+    """Digest words [8, ...batch] for Merkle leaves from uint32 value planes."""
     return sha3_256_single_block(leaf_block_words(a0, a1, b0, b1))
 
 
 def hash_nodes(left, right):
-    """Digest words [..., 8] for interior nodes from child digest words."""
+    """Digest words [8, ...batch] for interior nodes from child digest words
+    (lane-major: leading axis = the 8 digest words)."""
     return sha3_256_single_block(node_block_words(left, right))
 
 
@@ -207,24 +213,27 @@ _tree_cache = {}
 
 
 def _tree_fn(half: int, min_rows: int):
-    """Jitted builder: value planes -> tuple of digest levels, stopping once
-    a level has <= min_rows rows (the host finishes the tiny top — keeps the
-    unrolled graph shallow)."""
+    """Jitted builder: value planes [T, half] -> tuple of digest levels
+    [T, k, 8], stopping once a level has <= min_rows rows (the host finishes
+    the tiny top — keeps the unrolled graph shallow)."""
     import jax
+    import jax.numpy as jnp
 
     key = (half, min_rows)
     if key in _tree_cache:
         return _tree_cache[key]
 
     def build(a0, a1, b0, b1):
+        # lane-major internally: [8, T, k]
         levels = [hash_leaves(a0, a1, b0, b1)]
         cur = levels[0]
         size = half
         while size > min_rows and size > 1:
-            cur = hash_nodes(cur[..., 0::2, :], cur[..., 1::2, :])
+            cur = hash_nodes(cur[..., 0::2], cur[..., 1::2])
             levels.append(cur)
             size //= 2
-        return tuple(levels)
+        # word-minor on the way out: [T, k, 8]
+        return tuple(jnp.moveaxis(level, 0, -1) for level in levels)
 
     fn = jax.jit(build)
     _tree_cache[key] = fn
@@ -257,5 +266,8 @@ def merkle_levels_u64_pairs(
 
 def digest_words_to_bytes(words: np.ndarray) -> np.ndarray:
     """uint32 [..., 8] digest words -> uint8 [..., 32] digest bytes."""
-    le = words.astype("<u4")
+    # astype(order='K') keeps input strides; device arrays can arrive
+    # non-contiguous, and a dtype-size-changing view needs a contiguous
+    # last axis
+    le = np.ascontiguousarray(words.astype("<u4"))
     return le.view(np.uint8).reshape(words.shape[:-1] + (32,))

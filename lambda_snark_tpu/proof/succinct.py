@@ -95,8 +95,6 @@ GL_FAST_FRONTEND = True
 
 import numpy as np
 
-from .fri import _gl_powers
-
 
 def _gl_frontend_applicable(r1cs: R1CS) -> bool:
     if not GL_FAST_FRONTEND or r1cs.modulus != glnp.GOLDILOCKS:

@@ -51,8 +51,8 @@ def main():
     import jax.numpy as jnp
 
     batch = 1 << 19
-    d0 = jnp.asarray(
-        rng.integers(0, 1 << 32, size=(batch, 8), dtype=np.uint64).astype(np.uint32)
+    d0 = jnp.asarray(  # lane-major [8 digest words, batch]
+        rng.integers(0, 1 << 32, size=(8, batch), dtype=np.uint64).astype(np.uint32)
     )
     per_call = bench.measure_marginal(
         lambda d: kj.hash_nodes(d, d), d0, k_large=17, iters=5

@@ -36,8 +36,9 @@ def _pad_block(msg: bytes) -> np.ndarray:
 def test_sha3_single_block_matches_hashlib(length):
     rng = np.random.default_rng(length)
     msgs = [rng.integers(0, 256, size=length, dtype=np.uint8).tobytes() for _ in range(7)]
-    words = np.stack([_pad_block(m) for m in msgs])
-    digests = kj.digest_words_to_bytes(np.asarray(kj.sha3_256_single_block(words)))
+    words = np.stack([_pad_block(m) for m in msgs], axis=-1)  # lane-major [34, B]
+    out = np.moveaxis(np.asarray(kj.sha3_256_single_block(words)), 0, -1)
+    digests = kj.digest_words_to_bytes(out)
     for msg, dig in zip(msgs, digests):
         assert dig.tobytes() == hashlib.sha3_256(msg).digest()
 
@@ -50,19 +51,26 @@ def test_leaf_and_node_hashes_match_hashlib():
     a1 = (v_lo >> np.uint64(32)).astype(np.uint32)
     b0 = (v_hi & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     b1 = (v_hi >> np.uint64(32)).astype(np.uint32)
-    leaf = kj.digest_words_to_bytes(np.asarray(kj.hash_leaves(a0, a1, b0, b1)))
+    leaf = kj.digest_words_to_bytes(
+        np.moveaxis(np.asarray(kj.hash_leaves(a0, a1, b0, b1)), 0, -1)
+    )
     for i in range(33):
         ref = hashlib.sha3_256(
             b"\x00" + struct.pack("<QQ", int(v_lo[i]), int(v_hi[i]))
         ).digest()
         assert leaf[i].tobytes() == ref
 
-    left = rng.integers(0, 1 << 32, size=(16, 8), dtype=np.uint64).astype(np.uint32)
-    right = rng.integers(0, 1 << 32, size=(16, 8), dtype=np.uint64).astype(np.uint32)
-    node = kj.digest_words_to_bytes(np.asarray(kj.hash_nodes(left, right)))
+    # lane-major digests: [8 words, batch]
+    left = rng.integers(0, 1 << 32, size=(8, 16), dtype=np.uint64).astype(np.uint32)
+    right = rng.integers(0, 1 << 32, size=(8, 16), dtype=np.uint64).astype(np.uint32)
+    node = kj.digest_words_to_bytes(
+        np.moveaxis(np.asarray(kj.hash_nodes(left, right)), 0, -1)
+    )
     for i in range(16):
         ref = hashlib.sha3_256(
-            b"\x01" + left[i].astype("<u4").tobytes() + right[i].astype("<u4").tobytes()
+            b"\x01"
+            + left[:, i].astype("<u4").tobytes()
+            + right[:, i].astype("<u4").tobytes()
         ).digest()
         assert node[i].tobytes() == ref
 
