@@ -359,6 +359,30 @@ def bench_succinct():
         t0 = time.time()
         proof = prove_r1cs_succinct(r1cs, w, ctx, seed=7, device_lde=True)
         out[f"succinct_prove_m2pow13_{tag}_s"] = time.time() - t0
+    # batched succinct proving (one device dispatch per stage for the batch)
+    from lambda_snark_tpu.proof.succinct_batch import prove_r1cs_succinct_batch
+
+    s_batch = 8
+    witnesses = [w]
+    for i in range(1, s_batch):
+        vals_i = [r.randrange(NTT_MODULUS) for _ in range(m)]
+        witnesses.append(
+            [1] + vals_i + [v * v % NTT_MODULUS for v in vals_i]
+        )
+    seeds = [7] + list(range(100, 100 + s_batch - 1))
+    for tag in ("cold", "warm"):
+        t0 = time.time()
+        batch = prove_r1cs_succinct_batch(
+            r1cs, witnesses, ctx, seeds, device_lde=True
+        )
+        out[f"succinct_batch{s_batch}_prove_m2pow13_{tag}_s"] = time.time() - t0
+    out["succinct_proofs_per_s_batched"] = s_batch / out[
+        f"succinct_batch{s_batch}_prove_m2pow13_warm_s"
+    ]
+    out["succinct_batch_matches_single"] = bool(
+        batch[0].to_bytes() == proof.to_bytes()
+    )
+
     t0 = time.time()
     ok = verify_r1cs_succinct(proof, [1], r1cs)
     out["succinct_verify_m2pow13_s"] = time.time() - t0

@@ -50,6 +50,7 @@ from .proof.succinct import (
     prove_r1cs_succinct,
     verify_r1cs_succinct,
 )
+from .proof.succinct_batch import prove_r1cs_succinct_batch
 from .proof.types import EvalOpening, Proof, ProofR1CS, ProofR1csZk, deserialize_any
 from .prover import (
     prove_r1cs,
@@ -116,6 +117,7 @@ __all__ = [
     "prove_r1cs_stream",
     "prove_r1cs_compact",
     "prove_r1cs_succinct",
+    "prove_r1cs_succinct_batch",
     "prove_r1cs_zk",
     "prove_simple",
     "prove_zk",

@@ -166,16 +166,18 @@ class GoldilocksNtt:
         return stages
 
     def _transform(self, data: np.ndarray, stages) -> np.ndarray:
+        # batched: any leading axes, the transform runs over the LAST axis
         n = self.n
-        x = data[self._rev].copy()
+        x = data[..., self._rev].copy()
+        lead = x.shape[:-1]
         for s, tw in enumerate(stages, start=1):
             m = 1 << s
             half = m >> 1
-            x = x.reshape(n // m, m)
-            u = x[:, :half]
-            t = gl_mul(x[:, half:], tw[None, :])
-            x = np.concatenate([gl_add(u, t), gl_sub(u, t)], axis=1)
-        return x.reshape(n)
+            x = x.reshape(lead + (n // m, m))
+            u = x[..., :half]
+            t = gl_mul(x[..., half:], tw)
+            x = np.concatenate([gl_add(u, t), gl_sub(u, t)], axis=-1)
+        return x.reshape(lead + (n,))
 
     def forward(self, coeffs: np.ndarray) -> np.ndarray:
         """Cyclic NTT; bit-exact with ``core`` golden ``ntt_forward``."""

@@ -1,0 +1,497 @@
+"""Batched succinct proving: many FRI-bound proofs per device dispatch.
+
+The single-statement succinct prover (``proof/succinct.py``) already runs its
+heavy stages on the accelerator — Reed–Solomon encoding as one batched NTT
+dispatch, Merkle hashing as one batched Keccak dispatch. This module amortizes
+those dispatches across a BATCH of statements (the production serving shape:
+one circuit, a stream of witnesses), and vectorizes every host-side field
+stage over the statement axis:
+
+- constraint evaluation: padded-CSR gather + mod-exact tree reduction over
+  ``[S, m, max_nnz]`` (the batch analog of ``sparse_matrix.rs:259-289``),
+- interpolation / odd-coset quotient: the batched Goldilocks NTT
+  (``ops/goldilocks_np.py`` transforms over the last axis),
+- LDE: ONE device NTT dispatch for all ``4*S`` codewords,
+- Merkle: ONE device Keccak dispatch for all ``4*S`` trees (and one per FRI
+  fold layer for the ``S`` layer trees),
+- DEEP quotient + FRI folding: vectorized with per-statement challenges.
+
+Per-statement work that must stay sequential (Fiat–Shamir transcripts, query
+path extraction, the tiny final-polynomial iNTT) is exactly the cheap part.
+
+Bit-exactness: proofs returned here are byte-identical to
+``prove_r1cs_succinct`` run per statement with the same seeds (asserted in
+``tests/test_succinct_batch.py``) — every batched stage is exact modular
+arithmetic, so regrouping/padding cannot change a single output word.
+
+The reference has no batching story at all (its benchmark loop proves
+sequentially — ``lambda-snark-cli/src/main.rs:640-706``); this is the
+TPU-native upgrade of that loop.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..commit import lwe
+from ..core.errors import DomainError, InvalidDimensionsError, InvalidWitnessError
+from ..ops import goldilocks_np as glnp
+from ..r1cs.r1cs import R1CS
+from ..r1cs.sparse import SparseMatrix
+from ..transcript.challenge import derive_dual
+from ..utils.chacha import ChaCha20Rng
+from .fri import (
+    FriParams,
+    FriProof,
+    FriQuery,
+    LayerOpening,
+    _effective_final_len,
+    _gl_pow_array,
+    _gl_powers,
+    commit_codewords,
+    coset_offset,
+    root_of_order,
+)
+from ..r1cs.poly import ntt_inverse
+from ..core import field
+from .succinct import (
+    SuccinctProofR1CS,
+    _check_instance,
+    _gl_frontend_applicable,
+    _gl_trim,
+    _roots_to_words,
+    _seed_fri_transcript,
+    prove_r1cs_succinct,
+)
+
+__all__ = ["prove_r1cs_succinct_batch"]
+
+
+# --- batched host field helpers -------------------------------------------------
+
+
+def _gl_powers_batch(bases: np.ndarray, n: int) -> np.ndarray:
+    """[S, n] geometric rows [base_s^0, ..., base_s^(n-1)] mod Goldilocks."""
+    s = len(bases)
+    out = np.empty((s, n), dtype=np.uint64)
+    out[:, 0] = 1
+    cur = np.asarray(bases, dtype=np.uint64)
+    step = 1
+    while step < n:
+        m = min(step, n - step)
+        out[:, step : step + m] = glnp.gl_mul(out[:, :m], cur[:, None])
+        cur = glnp.gl_mul(cur, cur)
+        step <<= 1
+    return out
+
+
+def _gl_eval_batch(polys: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """Evaluate row polynomial s at point s: [S, L], [S] -> [S].
+
+    Mod-exact tree reduction — same values as ``succinct._gl_poly_eval``.
+    """
+    terms = glnp.gl_mul(polys, _gl_powers_batch(points, polys.shape[1]))
+    while terms.shape[1] > 1:
+        if terms.shape[1] & 1:
+            terms = np.concatenate(
+                [terms, np.zeros((terms.shape[0], 1), dtype=np.uint64)], axis=1
+            )
+        terms = glnp.gl_add(terms[:, 0::2], terms[:, 1::2])
+    return terms[:, 0]
+
+
+def _gl_inverse_batch(a: np.ndarray) -> np.ndarray:
+    if bool((a == 0).any()):
+        raise DomainError("batch_inverse: zero element (challenge hit the domain)")
+    return _gl_pow_array(a, glnp.GOLDILOCKS - 2)
+
+
+def _csr_padded(mat: SparseMatrix, q: int):
+    """CSR -> row-padded gather tables (col index [m, w], value [m, w])."""
+    rows = mat.rows
+    counts = [mat.row_ptr[r + 1] - mat.row_ptr[r] for r in range(rows)]
+    w = max(max(counts), 1) if rows else 1
+    cols = np.zeros((rows, w), dtype=np.int64)
+    vals = np.zeros((rows, w), dtype=np.uint64)
+    for r in range(rows):
+        lo, hi = mat.row_ptr[r], mat.row_ptr[r + 1]
+        for j, k in enumerate(range(lo, hi)):
+            cols[r, j] = mat.col_indices[k]
+            vals[r, j] = mat.values[k] % q
+    return cols, vals
+
+
+def _spmv_batch(mat: SparseMatrix, z: np.ndarray, q: int) -> np.ndarray:
+    """Batched modular SpMV: [S, n] witnesses -> [S, m] constraint rows.
+
+    Padded gather + gl tree reduction; exact mod arithmetic, so equal to
+    ``SparseMatrix.mul_vec`` per row.
+    """
+    cols, vals = _csr_padded(mat, q)
+    terms = glnp.gl_mul(z[:, cols], vals[None, :, :])  # [S, m, w]
+    while terms.shape[2] > 1:
+        if terms.shape[2] & 1:
+            terms = np.concatenate(
+                [terms, np.zeros(terms.shape[:2] + (1,), dtype=np.uint64)], axis=2
+            )
+        terms = glnp.gl_add(terms[:, :, 0::2], terms[:, :, 1::2])
+    return terms[:, :, 0]
+
+
+def _pad_to(p: np.ndarray, n: int) -> np.ndarray:
+    """Zero-pad [S, L] rows to [S, n] (mod-exact: padding never changes values)."""
+    if p.shape[1] == n:
+        return p
+    out = np.zeros((p.shape[0], n), dtype=np.uint64)
+    out[:, : p.shape[1]] = p
+    return out
+
+
+def _gl_zh_mul_batch(rho: np.ndarray, m: int) -> np.ndarray:
+    """(X^m - 1) * rho over the statement axis: [S, L] -> [S, m + L]."""
+    s, length = rho.shape
+    out = np.zeros((s, m + length), dtype=np.uint64)
+    out[:, m:] = rho
+    out[:, :length] = glnp.gl_sub(out[:, :length], rho)
+    return out
+
+
+def _gl_conv_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise exact polynomial product via a batched cyclic NTT."""
+    out_len = a.shape[1] + b.shape[1] - 1
+    size = 1 << (out_len - 1).bit_length() if out_len > 1 else 1
+    ntt = glnp.goldilocks_ntt(max(size, 2))
+    pa = _pad_to(a, ntt.n)
+    pb = _pad_to(b, ntt.n)
+    return ntt.inverse(glnp.gl_mul(ntt.forward(pa), ntt.forward(pb)))[:, :out_len]
+
+
+# --- batched FRI ------------------------------------------------------------------
+
+
+def _fold_batch(
+    values: np.ndarray, offset: int, omega: int, cs: np.ndarray
+) -> np.ndarray:
+    """Vectorized fold of [S, n] codewords with per-statement challenges [S].
+
+    Identical math to ``fri._fold_codeword`` (Goldilocks branch).
+    """
+    q = glnp.GOLDILOCKS
+    half = values.shape[1] // 2
+    lo, hi = values[:, :half], values[:, half:]
+    inv_xs = glnp.gl_mul(
+        np.uint64(field.mod_inverse(offset, q)),
+        _gl_powers(field.mod_inverse(omega, q), half),
+    )
+    inv2 = np.uint64(field.mod_inverse(2, q))
+    t = glnp.gl_mul(
+        glnp.gl_mul(cs[:, None], glnp.gl_sub(lo, hi)), inv_xs[None, :]
+    )
+    return glnp.gl_mul(glnp.gl_add(glnp.gl_add(lo, hi), t), inv2)
+
+
+def _fri_prove_batch(
+    g: np.ndarray,
+    inputs,  # list over statements of list of (codeword [n0], MerkleTree)
+    offset: int,
+    omega: int,
+    params: FriParams,
+    trs,
+) -> List[FriProof]:
+    """Batched ``fri.fri_prove``: one Merkle dispatch per fold layer for all
+    statements; transcripts stay per-statement. Byte-identical proofs."""
+    q = glnp.GOLDILOCKS
+    s, n0 = g.shape
+    d_bound = n0 >> params.log_blowup
+    final_len = _effective_final_len(d_bound, params.final_len)
+
+    committed: List[np.ndarray] = []  # [S, n] values per committed layer
+    layer_trees: List[list] = []  # trees[layer][statement]
+    roots_per_stmt: List[List[bytes]] = [[] for _ in range(s)]
+    cur = g
+    off, om, d = offset, omega, d_bound
+    while True:
+        cs = np.array(
+            [tr.challenge_field(q, b"fri-fold") for tr in trs], dtype=np.uint64
+        )
+        cur = _fold_batch(cur, off, om, cs)
+        off = off * off % q
+        om = om * om % q
+        d >>= 1
+        if d <= final_len:
+            break
+        trees = commit_codewords([cur[i] for i in range(s)])
+        committed.append(cur)
+        layer_trees.append(trees)
+        for i in range(s):
+            roots_per_stmt[i].append(trees[i].root)
+            trs[i].absorb(b"fri-layer-root", trees[i].root)
+
+    inv_off = field.mod_inverse(off, q)
+    finals: List[List[int]] = []
+    for i in range(s):
+        coeffs = ntt_inverse([int(v) for v in cur[i]], q, om)
+        acc = 1
+        final: List[int] = []
+        for cf in coeffs:
+            final.append(cf * acc % q)
+            acc = acc * inv_off % q
+        if any(final[final_len:]):
+            raise DomainError("FRI final polynomial exceeds its degree bound")
+        finals.append(final[:final_len])
+        trs[i].absorb_words(b"fri-final", finals[i])
+
+    proofs: List[FriProof] = []
+    for i in range(s):
+        indices = trs[i].challenge_indices(n0 // 2, params.num_queries, b"fri-query")
+        queries: List[FriQuery] = []
+        for i0 in indices:
+            input_openings = []
+            for values, tree in inputs[i]:
+                half = len(values) // 2
+                input_openings.append(
+                    LayerOpening(
+                        int(values[i0]), int(values[i0 + half]), tuple(tree.path(i0))
+                    )
+                )
+            layer_openings = []
+            pos = i0
+            for values, trees in zip(committed, layer_trees):
+                half = values.shape[1] // 2
+                p = pos % half
+                layer_openings.append(
+                    LayerOpening(
+                        int(values[i, p]),
+                        int(values[i, p + half]),
+                        tuple(trees[i].path(p)),
+                    )
+                )
+                pos = p
+            queries.append(FriQuery(tuple(input_openings), tuple(layer_openings)))
+        proofs.append(
+            FriProof(tuple(roots_per_stmt[i]), tuple(finals[i]), tuple(queries))
+        )
+    return proofs
+
+
+# --- batched prover -----------------------------------------------------------------
+
+
+def prove_r1cs_succinct_batch(
+    r1cs: R1CS,
+    witnesses: Sequence[Sequence[int]],
+    ctx: lwe.LweContext,
+    seeds: Sequence[int],
+    zk: bool = False,
+    fri_params: Optional[FriParams] = None,
+    blinding_seeds: Optional[Sequence[int]] = None,
+    device_lde: bool = True,
+) -> List[SuccinctProofR1CS]:
+    """Prove a batch of statements over one circuit with succinct openings.
+
+    Byte-identical to ``prove_r1cs_succinct(r1cs, w, ctx, seed, ...)`` per
+    statement; all heavy device work (RS encoding, Merkle hashing) and all
+    host field math run batched over the statement axis. ZK blinding is
+    per-statement via ``blinding_seeds`` (required when ``zk=True`` — batched
+    proving is deterministic by construction).
+
+    Falls back to the sequential prover for non-Goldilocks / non-roots
+    instances (where no vectorized front-end exists).
+    """
+    params = fri_params or FriParams()
+    params.validate()
+    s = len(witnesses)
+    if len(seeds) != s:
+        raise InvalidDimensionsError("need one seed per witness")
+    if zk:
+        if blinding_seeds is None or len(blinding_seeds) != s:
+            raise InvalidDimensionsError(
+                "zk batch proving needs one blinding seed per witness"
+            )
+    if s == 0:
+        return []
+
+    if not _gl_frontend_applicable(r1cs):
+        return [
+            prove_r1cs_succinct(
+                r1cs,
+                w,
+                ctx,
+                seed,
+                zk=zk,
+                fri_params=params,
+                blinding_seed=(blinding_seeds[i] if zk else None),
+            )
+            for i, (w, seed) in enumerate(zip(witnesses, seeds))
+        ]
+
+    q = r1cs.modulus
+    m = r1cs.m
+    mask_len = (2 * params.num_queries + 8) if zk else 0
+    d_bound, n0, omega_n = _check_instance(r1cs, params, mask_len)
+    offset = coset_offset(q)
+
+    # 1. batched constraint evaluation + witness validation
+    n = r1cs.n
+    z = np.empty((s, n), dtype=np.uint64)
+    for i, w in enumerate(witnesses):
+        if len(w) != n:
+            raise InvalidDimensionsError(
+                f"witness {i} length {len(w)} must equal n={n}"
+            )
+        z[i] = np.array([v % q for v in w], dtype=np.uint64)
+    az = _spmv_batch(r1cs.a, z, q)
+    bz = _spmv_batch(r1cs.b, z, q)
+    cz = _spmv_batch(r1cs.c, z, q)
+    bad = glnp.gl_sub(glnp.gl_mul(az, bz), cz).any(axis=1)
+    if bool(bad.any()):
+        raise InvalidWitnessError(
+            f"witness {int(np.nonzero(bad)[0][0])} does not satisfy R1CS constraints"
+        )
+
+    # 2. batched interpolation + odd-coset quotient (one NTT call per stage)
+    ntt = glnp.goldilocks_ntt(m)
+    a_poly = ntt.inverse(az)
+    b_poly = ntt.inverse(bz)
+    c_poly = ntt.inverse(cz)
+    neg_half_inv = np.uint64(glnp.gl_inv(q - 2))
+    q_odd = glnp.gl_mul(
+        glnp.gl_sub(
+            glnp.gl_mul(ntt.forward_negacyclic(a_poly), ntt.forward_negacyclic(b_poly)),
+            ntt.forward_negacyclic(c_poly),
+        ),
+        neg_half_inv,
+    )
+    q_poly = glnp.gl_mul(ntt.inverse(q_odd), ntt._psi_inv_pows)  # [S, m]
+
+    # 3. masks (ZK): per-statement ChaCha streams, batched composition
+    if zk:
+        masks = np.empty((3, s, mask_len), dtype=np.uint64)
+        for i in range(s):
+            rng = ChaCha20Rng.from_u64(blinding_seeds[i])
+            for k in range(3):
+                masks[k, i] = [rng.next_u64() % q for _ in range(mask_len)]
+        rho_a, rho_b, rho_c = masks[0], masks[1], masks[2]
+        a_t = glnp.gl_add(_pad_to(a_poly, m + mask_len), _gl_zh_mul_batch(rho_a, m))
+        b_t = glnp.gl_add(_pad_to(b_poly, m + mask_len), _gl_zh_mul_batch(rho_b, m))
+        c_t = glnp.gl_add(_pad_to(c_poly, m + mask_len), _gl_zh_mul_batch(rho_c, m))
+        q_len = m + 2 * mask_len
+        q_t = glnp.gl_add(
+            glnp.gl_add(
+                _pad_to(q_poly, q_len),
+                _pad_to(_gl_conv_batch(rho_a, b_poly), q_len),
+            ),
+            glnp.gl_add(
+                _pad_to(_gl_conv_batch(rho_b, a_poly), q_len),
+                glnp.gl_sub(
+                    _pad_to(_gl_zh_mul_batch(_gl_conv_batch(rho_a, rho_b), m), q_len),
+                    _pad_to(rho_c, q_len),
+                ),
+            ),
+        )
+    else:
+        a_t, b_t, c_t, q_t = a_poly, b_poly, c_poly, q_poly
+
+    # 4. Reed–Solomon encodings: ONE batched NTT over all 4*S polynomials
+    polys = [p[i] for i in range(s) for p in (a_t, b_t, c_t, q_t)]
+    if device_lde:
+        from .fri import lde_batch_device
+
+        codewords = lde_batch_device(polys, n0, offset, q)
+    else:
+        from .fri import lde
+
+        codewords = [
+            np.asarray(lde(p, n0, offset, omega_n, q), dtype=np.uint64)
+            for p in polys
+        ]
+    cw = np.stack(codewords).reshape(s, 4, n0)
+
+    # 5. Merkle commitments: ONE batched Keccak dispatch for all 4*S trees
+    trees_flat = commit_codewords([cw[i, k] for i in range(s) for k in range(4)])
+    trees = [trees_flat[4 * i : 4 * i + 4] for i in range(s)]
+    roots = [[t.root for t in trees[i]] for i in range(s)]
+
+    # 6. lattice commitments + dual Fiat–Shamir challenges (per statement)
+    commitments = []
+    alphas = np.empty(s, dtype=np.uint64)
+    betas = np.empty(s, dtype=np.uint64)
+    chals = []
+    for i in range(s):
+        commitment_q, _op = lwe.commit(ctx, _gl_trim(q_poly[i]), seeds[i])
+        commitments.append(commitment_q)
+        comm_words = list(commitment_q.as_words()) + _roots_to_words(roots[i])
+        ch_alpha, ch_beta = derive_dual(
+            r1cs.public_inputs(witnesses[i]), comm_words, q
+        )
+        chals.append((ch_alpha, ch_beta))
+        alphas[i] = ch_alpha.alpha
+        betas[i] = ch_beta.alpha
+
+    # 7. claimed evaluations, batched per polynomial kind
+    evals = np.empty((s, 8), dtype=np.uint64)
+    for k, p in enumerate((a_t, b_t, c_t, q_t)):
+        evals[:, k] = _gl_eval_batch(p, alphas)
+        evals[:, 4 + k] = _gl_eval_batch(p, betas)
+
+    # 8. per-statement FRI transcripts + batched DEEP quotient
+    trs = []
+    lams = np.empty(s, dtype=np.uint64)
+    for i in range(s):
+        tr = _seed_fri_transcript(
+            q, m, mask_len, params, d_bound, roots[i],
+            int(alphas[i]), int(betas[i]), [int(v) for v in evals[i]],
+        )
+        lams[i] = tr.challenge_field(q, b"fri-lambda")
+        trs.append(tr)
+
+    xs = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))  # [n0]
+    inv_a = _gl_inverse_batch(glnp.gl_sub(xs[None, :], alphas[:, None]))
+    inv_b = _gl_inverse_batch(glnp.gl_sub(xs[None, :], betas[:, None]))
+    g = np.zeros((s, n0), dtype=np.uint64)
+    lam_pow = np.ones(s, dtype=np.uint64)
+    for k in range(4):
+        lam2 = glnp.gl_mul(lam_pow, lams)
+        term_a = glnp.gl_mul(
+            glnp.gl_mul(lam_pow[:, None], glnp.gl_sub(cw[:, k], evals[:, k][:, None])),
+            inv_a,
+        )
+        term_b = glnp.gl_mul(
+            glnp.gl_mul(lam2[:, None], glnp.gl_sub(cw[:, k], evals[:, 4 + k][:, None])),
+            inv_b,
+        )
+        g = glnp.gl_add(g, glnp.gl_add(term_a, term_b))
+        lam_pow = glnp.gl_mul(lam2, lams)
+
+    # 9. batched FRI
+    inputs = [
+        [(cw[i, k], trees[i][k]) for k in range(4)] for i in range(s)
+    ]
+    fri_proofs = _fri_prove_batch(g, inputs, offset, omega_n, params, trs)
+
+    return [
+        SuccinctProofR1CS(
+            commitment_q=commitments[i],
+            input_roots=tuple(roots[i]),
+            challenge_alpha=chals[i][0],
+            challenge_beta=chals[i][1],
+            a_alpha=int(evals[i, 0]),
+            b_alpha=int(evals[i, 1]),
+            c_alpha=int(evals[i, 2]),
+            q_alpha=int(evals[i, 3]),
+            a_beta=int(evals[i, 4]),
+            b_beta=int(evals[i, 5]),
+            c_beta=int(evals[i, 6]),
+            q_beta=int(evals[i, 7]),
+            fri=fri_proofs[i],
+            m=m,
+            mask_len=mask_len,
+            log_blowup=params.log_blowup,
+            num_queries=params.num_queries,
+            final_len=params.final_len,
+            modulus=q,
+        )
+        for i in range(s)
+    ]

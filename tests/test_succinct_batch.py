@@ -1,0 +1,163 @@
+"""Batched succinct proving (proof/succinct_batch.py).
+
+The contract is byte-exactness: the batch prover must emit proofs identical
+to the sequential ``prove_r1cs_succinct`` for the same seeds — every batched
+stage is exact modular arithmetic, so any divergence is a bug.
+"""
+
+import numpy as np
+import pytest
+
+from lambda_snark_tpu import (
+    Params,
+    Profile,
+    SecurityLevel,
+    prove_r1cs_succinct,
+    setup,
+    verify_r1cs_succinct,
+)
+from lambda_snark_tpu.core.errors import (
+    InvalidDimensionsError,
+    InvalidWitnessError,
+)
+from lambda_snark_tpu.core.params import NTT_FRIENDLY_MODULUS, NTT_MODULUS
+from lambda_snark_tpu.ops import goldilocks_np as glnp
+from lambda_snark_tpu.proof.fri import FriParams
+from lambda_snark_tpu.proof.succinct_batch import (
+    _gl_eval_batch,
+    _spmv_batch,
+    prove_r1cs_succinct_batch,
+)
+
+from test_succinct import FAST, mult_circuit, mult_witness
+
+GL = NTT_MODULUS
+
+
+@pytest.fixture(scope="module")
+def ctx_gl():
+    return setup(Params(SecurityLevel.BITS128, Profile.ring_b(64, 1, GL, 3.19)))
+
+
+@pytest.fixture(scope="module")
+def batch_instance():
+    r1cs = mult_circuit(16, GL)
+    witnesses = [mult_witness(16, GL, seed=i) for i in range(3)]
+    return r1cs, witnesses
+
+
+def test_batched_ntt_matches_single_rows():
+    ntt = glnp.goldilocks_ntt(64)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, glnp.GOLDILOCKS, size=(5, 64), dtype=np.uint64)
+    fwd = ntt.forward(x)
+    for i in range(5):
+        assert np.array_equal(fwd[i], ntt.forward(x[i]))
+    assert np.array_equal(ntt.inverse(fwd), x)
+    neg = ntt.forward_negacyclic(x)
+    for i in range(5):
+        assert np.array_equal(neg[i], ntt.forward_negacyclic(x[i]))
+
+
+def test_spmv_batch_matches_mul_vec(batch_instance):
+    r1cs, witnesses = batch_instance
+    z = np.array([[v % GL for v in w] for w in witnesses], dtype=np.uint64)
+    for mat in (r1cs.a, r1cs.b, r1cs.c):
+        got = _spmv_batch(mat, z, GL)
+        for i, w in enumerate(witnesses):
+            assert got[i].tolist() == mat.mul_vec(w, GL)
+
+
+def test_eval_batch_matches_scalar():
+    from lambda_snark_tpu.proof.succinct import _gl_poly_eval
+
+    rng = np.random.default_rng(1)
+    polys = rng.integers(0, glnp.GOLDILOCKS, size=(4, 23), dtype=np.uint64)
+    points = rng.integers(1, glnp.GOLDILOCKS, size=4, dtype=np.uint64)
+    got = _gl_eval_batch(polys, points)
+    for i in range(4):
+        assert int(got[i]) == _gl_poly_eval(polys[i], int(points[i]))
+
+
+def test_batch_bytes_equal_sequential(ctx_gl, batch_instance):
+    r1cs, witnesses = batch_instance
+    seeds = [11, 12, 13]
+    batch = prove_r1cs_succinct_batch(
+        r1cs, witnesses, ctx_gl, seeds, fri_params=FAST, device_lde=False
+    )
+    for w, seed, proof in zip(witnesses, seeds, batch):
+        single = prove_r1cs_succinct(r1cs, w, ctx_gl, seed, fri_params=FAST)
+        assert proof.to_bytes() == single.to_bytes()
+        assert verify_r1cs_succinct(proof, [1], r1cs, min_params=FAST)
+
+
+def test_batch_device_lde_same_bytes(ctx_gl, batch_instance):
+    r1cs, witnesses = batch_instance
+    seeds = [21, 22, 23]
+    host = prove_r1cs_succinct_batch(
+        r1cs, witnesses, ctx_gl, seeds, fri_params=FAST, device_lde=False
+    )
+    dev = prove_r1cs_succinct_batch(
+        r1cs, witnesses, ctx_gl, seeds, fri_params=FAST, device_lde=True
+    )
+    assert [p.to_bytes() for p in host] == [p.to_bytes() for p in dev]
+
+
+def test_batch_zk_bytes_equal_sequential(ctx_gl, batch_instance):
+    r1cs, witnesses = batch_instance
+    seeds = [31, 32, 33]
+    blind = [101, 102, 103]
+    batch = prove_r1cs_succinct_batch(
+        r1cs, witnesses, ctx_gl, seeds, zk=True, fri_params=FAST,
+        blinding_seeds=blind, device_lde=False,
+    )
+    for w, seed, bs, proof in zip(witnesses, seeds, blind, batch):
+        single = prove_r1cs_succinct(
+            r1cs, w, ctx_gl, seed, zk=True, fri_params=FAST, blinding_seed=bs
+        )
+        assert proof.to_bytes() == single.to_bytes()
+        assert proof.mask_len > 0
+        assert verify_r1cs_succinct(proof, [1], r1cs, min_params=FAST)
+
+
+def test_batch_rejects_bad_witness(ctx_gl, batch_instance):
+    r1cs, witnesses = batch_instance
+    bad = list(witnesses[1])
+    bad[1] = (bad[1] + 1) % GL
+    with pytest.raises(InvalidWitnessError, match="witness 1"):
+        prove_r1cs_succinct_batch(
+            r1cs, [witnesses[0], bad], ctx_gl, [1, 2], fri_params=FAST,
+            device_lde=False,
+        )
+
+
+def test_batch_seed_count_mismatch(ctx_gl, batch_instance):
+    r1cs, witnesses = batch_instance
+    with pytest.raises(InvalidDimensionsError):
+        prove_r1cs_succinct_batch(
+            r1cs, witnesses, ctx_gl, [1, 2], fri_params=FAST, device_lde=False
+        )
+    with pytest.raises(InvalidDimensionsError):
+        prove_r1cs_succinct_batch(
+            r1cs, witnesses, ctx_gl, [1, 2, 3], zk=True, fri_params=FAST,
+            device_lde=False,
+        )
+
+
+def test_batch_fallback_non_goldilocks():
+    q45 = NTT_FRIENDLY_MODULUS
+    ctx = setup(Params(SecurityLevel.BITS128, Profile.ring_b(64, 1, q45, 3.19)))
+    r1cs = mult_circuit(8, q45)
+    witnesses = [mult_witness(8, q45, seed=i) for i in range(2)]
+    batch = prove_r1cs_succinct_batch(
+        r1cs, witnesses, ctx, [7, 8], fri_params=FAST
+    )
+    for w, seed, proof in zip(witnesses, [7, 8], batch):
+        single = prove_r1cs_succinct(r1cs, w, ctx, seed, fri_params=FAST)
+        assert proof.to_bytes() == single.to_bytes()
+        assert verify_r1cs_succinct(proof, [1], r1cs, min_params=FAST)
+
+
+def test_batch_empty(ctx_gl, batch_instance):
+    r1cs, _ = batch_instance
+    assert prove_r1cs_succinct_batch(r1cs, [], ctx_gl, [], fri_params=FAST) == []
