@@ -50,7 +50,10 @@ from .proof.succinct import (
     prove_r1cs_succinct,
     verify_r1cs_succinct,
 )
-from .proof.succinct_batch import prove_r1cs_succinct_batch
+from .proof.succinct_batch import (
+    prove_r1cs_succinct_batch,
+    prove_r1cs_succinct_stream,
+)
 from .proof.types import EvalOpening, Proof, ProofR1CS, ProofR1csZk, deserialize_any
 from .prover import (
     prove_r1cs,
@@ -118,6 +121,7 @@ __all__ = [
     "prove_r1cs_compact",
     "prove_r1cs_succinct",
     "prove_r1cs_succinct_batch",
+    "prove_r1cs_succinct_stream",
     "prove_r1cs_zk",
     "prove_simple",
     "prove_zk",

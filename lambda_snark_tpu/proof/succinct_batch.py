@@ -66,7 +66,7 @@ from .succinct import (
     prove_r1cs_succinct,
 )
 
-__all__ = ["prove_r1cs_succinct_batch"]
+__all__ = ["prove_r1cs_succinct_batch", "prove_r1cs_succinct_stream"]
 
 
 # --- batched host field helpers -------------------------------------------------
@@ -495,3 +495,89 @@ def prove_r1cs_succinct_batch(
         )
         for i in range(s)
     ]
+
+
+# --- streaming service ---------------------------------------------------------------
+
+#: the seed-fold constant shared with ``prover_batched.prove_r1cs_stream``
+_SEED_FOLD = 0x9E3779B97F4A7C15
+#: salt separating the default blinding-seed stream from the proof seeds
+_BLIND_SALT = 0xA5A5A5A55A5A5A5A
+
+
+def _index_seed(master: int, index: int) -> int:
+    """Deterministic per-statement seed: resume-stable for any partition."""
+    return (master ^ (_SEED_FOLD * (index + 1))) & ((1 << 63) - 1)
+
+
+def prove_r1cs_succinct_stream(
+    r1cs: R1CS,
+    witnesses,
+    ctx: lwe.LweContext,
+    seed: int,
+    batch: int = 8,
+    zk: bool = False,
+    fri_params: Optional[FriParams] = None,
+    blinding_seed: Optional[int] = None,
+    store=None,
+    device_lde: bool = True,
+    label_prefix: str = "succinct",
+):
+    """Yield ``(index, SuccinctProofR1CS)`` for a witness stream, in order.
+
+    The succinct analog of ``prover_batched.prove_r1cs_stream`` /
+    ``parallel.service.ShardedProofService``: witnesses are proven in
+    device-amortized batches (``prove_r1cs_succinct_batch``), each statement
+    is seeded by a fold of the master seed with its stream index (so any
+    partition of the stream reproduces identical bytes), and a ``ProofStore``
+    makes runs resumable — statements already in the store are served
+    byte-identical, only the remainder is proven.
+    """
+    params = fri_params or FriParams()
+    params.validate()
+    blind_master = (
+        blinding_seed if blinding_seed is not None else seed ^ _BLIND_SALT
+    )
+    from ..utils.artifacts import statement_digest
+
+    pending: list = []  # (index, witness)
+
+    def label(index: int) -> str:
+        return f"{label_prefix}-{index}"
+
+    def flush():
+        if not pending:
+            return
+        idxs = [i for i, _w in pending]
+        ws = [w for _i, w in pending]
+        seeds = [_index_seed(seed, i) for i in idxs]
+        blinds = [_index_seed(blind_master, i) for i in idxs] if zk else None
+        proofs = prove_r1cs_succinct_batch(
+            r1cs, ws, ctx, seeds, zk=zk, fri_params=params,
+            blinding_seeds=blinds, device_lde=device_lde,
+        )
+        for (index, w), proof, s in zip(pending, proofs, seeds):
+            if store is not None:
+                store.save(
+                    r1cs, r1cs.public_inputs(w), s, proof, label=label(index)
+                )
+            yield index, proof
+        pending.clear()
+
+    for index, w in enumerate(witnesses):
+        if store is not None:
+            key = statement_digest(
+                r1cs, r1cs.public_inputs(w), _index_seed(seed, index),
+                label(index),
+            )
+            if store.contains(key):
+                for item in flush():
+                    yield item
+                yield index, store.load(key)
+                continue
+        pending.append((index, w))
+        if len(pending) == batch:
+            for item in flush():
+                yield item
+    for item in flush():
+        yield item

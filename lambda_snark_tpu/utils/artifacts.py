@@ -108,7 +108,15 @@ class ProofStore:
         return sorted(self._manifest)
 
     def verify_all(self, r1cs: R1CS) -> Dict[str, bool]:
-        """Re-verify every stored proof for this circuit (integrity sweep)."""
+        """Re-verify every stored proof for this circuit (integrity sweep).
+
+        Succinct proofs are checked against their own recorded FRI
+        parameters (this is an integrity sweep, not an acceptance gate —
+        callers with a security floor pass it to ``verify_r1cs_succinct``
+        directly).
+        """
+        from ..proof.compact import CompactProofR1CS, verify_r1cs_compact
+        from ..proof.succinct import SuccinctProofR1CS, verify_r1cs_succinct
         from ..verifier import verify_r1cs, verify_r1cs_zk
 
         cdig = circuit_digest(r1cs)
@@ -122,6 +130,12 @@ class ProofStore:
                 results[key] = verify_r1cs_zk(proof, public, r1cs)
             elif isinstance(proof, ProofR1CS):
                 results[key] = verify_r1cs(proof, public, r1cs)
+            elif isinstance(proof, SuccinctProofR1CS):
+                results[key] = verify_r1cs_succinct(
+                    proof, public, r1cs, min_params=proof.fri_params
+                )
+            elif isinstance(proof, CompactProofR1CS):
+                results[key] = verify_r1cs_compact(proof, public, r1cs)
             else:
                 results[key] = False
         return results

@@ -161,3 +161,74 @@ def test_batch_fallback_non_goldilocks():
 def test_batch_empty(ctx_gl, batch_instance):
     r1cs, _ = batch_instance
     assert prove_r1cs_succinct_batch(r1cs, [], ctx_gl, [], fri_params=FAST) == []
+
+
+# --- streaming + store resume ---------------------------------------------------
+
+
+def test_stream_partition_invariant(ctx_gl, batch_instance):
+    from lambda_snark_tpu import prove_r1cs_succinct_stream
+
+    r1cs, _ = batch_instance
+    witnesses = [mult_witness(16, GL, seed=10 + i) for i in range(5)]
+    by2 = list(
+        prove_r1cs_succinct_stream(
+            r1cs, witnesses, ctx_gl, seed=99, batch=2, fri_params=FAST,
+            device_lde=False,
+        )
+    )
+    by5 = list(
+        prove_r1cs_succinct_stream(
+            r1cs, witnesses, ctx_gl, seed=99, batch=5, fri_params=FAST,
+            device_lde=False,
+        )
+    )
+    assert [i for i, _ in by2] == [0, 1, 2, 3, 4]
+    assert [p.to_bytes() for _, p in by2] == [p.to_bytes() for _, p in by5]
+    for _, p in by2:
+        assert verify_r1cs_succinct(p, [1], r1cs, min_params=FAST)
+
+
+def test_stream_store_resume(tmp_path, ctx_gl, batch_instance):
+    from lambda_snark_tpu import prove_r1cs_succinct_stream
+    from lambda_snark_tpu.utils.artifacts import ProofStore
+
+    r1cs, _ = batch_instance
+    witnesses = [mult_witness(16, GL, seed=20 + i) for i in range(4)]
+    store = ProofStore(str(tmp_path / "proofs"))
+    first = list(
+        prove_r1cs_succinct_stream(
+            r1cs, witnesses[:2], ctx_gl, seed=7, batch=2, fri_params=FAST,
+            store=store, device_lde=False,
+        )
+    )
+    assert len(store.keys()) == 2
+    # resumed run over the full stream: first two served from the store
+    resumed = list(
+        prove_r1cs_succinct_stream(
+            r1cs, witnesses, ctx_gl, seed=7, batch=2, fri_params=FAST,
+            store=store, device_lde=False,
+        )
+    )
+    assert len(resumed) == 4
+    for (i0, p0), (i1, p1) in zip(first, resumed[:2]):
+        assert (i0, p0.to_bytes()) == (i1, p1.to_bytes())
+    # integrity sweep covers the succinct kind
+    results = store.verify_all(r1cs)
+    assert len(results) == 4 and all(results.values())
+
+
+def test_stream_zk_deterministic(ctx_gl, batch_instance):
+    from lambda_snark_tpu import prove_r1cs_succinct_stream
+
+    r1cs, _ = batch_instance
+    witnesses = [mult_witness(16, GL, seed=30 + i) for i in range(2)]
+    run = lambda: [
+        p.to_bytes()
+        for _, p in prove_r1cs_succinct_stream(
+            r1cs, witnesses, ctx_gl, seed=1, batch=2, zk=True,
+            fri_params=FAST, device_lde=False,
+        )
+    ]
+    a, b = run(), run()
+    assert a == b
