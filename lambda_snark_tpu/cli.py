@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import sys
 import time
 from typing import List, Optional
@@ -350,6 +351,65 @@ def cmd_prove(args) -> int:
     return 0
 
 
+def _load_witnesses(path: str) -> List[List[int]]:
+    """Witness-stream file: a JSON list of witness vectors (or
+    ``{"witnesses": [...]}``)."""
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        data = data.get("witnesses")
+    return [[int(v) for v in w] for w in data]
+
+
+def cmd_prove_stream(args) -> int:
+    r1cs = _load_circuit(args.circuit)
+    witnesses = _load_witnesses(args.witnesses)
+    ctx = _ctx_from_descriptor(args.context, r1cs.modulus, args.ring_degree)
+    store = None
+    if args.store:
+        from .utils.artifacts import ProofStore
+
+        store = ProofStore(args.store)
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+    t0 = time.time()
+    total = 0
+    count = 0
+    if args.succinct:
+        from .proof.succinct_batch import prove_r1cs_succinct_stream
+
+        stream = prove_r1cs_succinct_stream(
+            r1cs, witnesses, ctx, seed=args.seed, batch=args.batch,
+            zk=args.zk, blinding_seed=args.blinding_seed, store=store,
+        )
+    else:
+        from .prover_batched import prove_r1cs_stream
+
+        stream = enumerate(
+            prove_r1cs_stream(
+                r1cs, witnesses, ctx, seed=args.seed, batch=args.batch,
+                zk=args.zk, blinding_seed=args.blinding_seed, store=store,
+            )
+        )
+    for index, proof in stream:
+        data = proof.to_bytes()
+        total += len(data)
+        count += 1
+        if args.out_dir:
+            with open(os.path.join(args.out_dir, f"{index}.proof"), "wb") as f:
+                f.write(data)
+    elapsed = time.time() - t0
+    rate = count / elapsed if elapsed > 0 else float("inf")
+    kind = "succinct" if args.succinct else ("zk" if args.zk else "base")
+    print(
+        f"proved {count} statements ({kind}, batch={args.batch}) in "
+        f"{elapsed*1e3:.1f} ms = {rate:.1f} proofs/s, {total} proof bytes"
+        + (f"; store: {args.store}" if args.store else "")
+        + (f"; proofs in {args.out_dir}" if args.out_dir else "")
+    )
+    return 0
+
+
 def cmd_verify(args) -> int:
     r1cs = _load_circuit(args.circuit)
     with open(args.proof, "rb") as f:
@@ -489,6 +549,26 @@ def build_parser() -> argparse.ArgumentParser:
                          "binding (non-ZK; writes <out>.witness-binding)")
     pv.add_argument("--out", default="proof.bin")
     pv.set_defaults(fn=cmd_prove)
+
+    ps = sub.add_parser(
+        "prove-stream",
+        help="prove a witness stream in device-amortized batches "
+             "(resume-safe with --store)",
+    )
+    ps.add_argument("--circuit", required=True)
+    ps.add_argument("--witnesses", required=True,
+                    help="JSON list of witness vectors")
+    ps.add_argument("--context")
+    ps.add_argument("--batch", type=int, default=8)
+    ps.add_argument("--succinct", action="store_true",
+                    help="FRI-bound succinct proofs (NTT fields only)")
+    ps.add_argument("--zk", action="store_true")
+    ps.add_argument("--blinding-seed", type=lambda s: int(s, 0), default=None)
+    ps.add_argument("--store", default=None,
+                    help="ProofStore directory (resume log)")
+    ps.add_argument("--out-dir", default=None,
+                    help="also write each proof as <index>.proof")
+    ps.set_defaults(fn=cmd_prove_stream)
 
     vf = sub.add_parser("verify", help="verify a proof file")
     vf.add_argument("--circuit", required=True)

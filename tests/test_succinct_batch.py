@@ -232,3 +232,59 @@ def test_stream_zk_deterministic(ctx_gl, batch_instance):
     ]
     a, b = run(), run()
     assert a == b
+
+
+# --- CLI prove-stream -------------------------------------------------------------
+
+
+def _mult_circuit_json(m):
+    cons = []
+    for i in range(m):
+        cons.append(
+            {
+                "A": [{"row": i, "col": 1 + i, "value": 1}],
+                "B": [{"row": i, "col": 1 + m + i, "value": 1}],
+                "C": [{"row": i, "col": 1 + 2 * m + i, "value": 1}],
+            }
+        )
+    return {"m": m, "n": 1 + 3 * m, "l": 1, "modulus": GL, "constraints": cons}
+
+
+def test_cli_prove_stream(tmp_path):
+    import json
+
+    from lambda_snark_tpu.cli import main as cli_main
+
+    cpath = tmp_path / "circuit.json"
+    wpath = tmp_path / "witnesses.json"
+    cpath.write_text(json.dumps(_mult_circuit_json(4)))
+    wits = [mult_witness(4, GL, seed=40 + i) for i in range(3)]
+    wpath.write_text(json.dumps(wits))
+    base = ["--ring-degree", "64", "--seed", "5"]
+    # succinct mode with store + out-dir
+    rc = cli_main(base + [
+        "prove-stream", "--circuit", str(cpath), "--witnesses", str(wpath),
+        "--succinct", "--batch", "2",
+        "--store", str(tmp_path / "store"),
+        "--out-dir", str(tmp_path / "proofs"),
+    ])
+    assert rc == 0
+    assert sorted(p.name for p in (tmp_path / "proofs").iterdir()) == [
+        "0.proof", "1.proof", "2.proof",
+    ]
+    rc = cli_main(base + [
+        "verify", "--circuit", str(cpath),
+        "--proof", str(tmp_path / "proofs" / "1.proof"), "--public", "1",
+    ])
+    assert rc == 0
+    # base (non-succinct) batched stream mode
+    rc = cli_main(base + [
+        "prove-stream", "--circuit", str(cpath), "--witnesses", str(wpath),
+        "--batch", "2", "--out-dir", str(tmp_path / "base_proofs"),
+    ])
+    assert rc == 0
+    rc = cli_main(base + [
+        "verify", "--circuit", str(cpath),
+        "--proof", str(tmp_path / "base_proofs" / "2.proof"), "--public", "1",
+    ])
+    assert rc == 0
