@@ -54,6 +54,11 @@ from .proof.succinct_batch import (
     prove_r1cs_succinct_batch,
     prove_r1cs_succinct_stream,
 )
+from .proof.aggregate import (
+    AggregatedProofR1CS,
+    prove_r1cs_succinct_aggregate,
+    verify_r1cs_succinct_aggregate,
+)
 from .proof.types import EvalOpening, Proof, ProofR1CS, ProofR1csZk, deserialize_any
 from .prover import (
     prove_r1cs,
@@ -122,6 +127,9 @@ __all__ = [
     "prove_r1cs_succinct",
     "prove_r1cs_succinct_batch",
     "prove_r1cs_succinct_stream",
+    "AggregatedProofR1CS",
+    "prove_r1cs_succinct_aggregate",
+    "verify_r1cs_succinct_aggregate",
     "prove_r1cs_zk",
     "prove_simple",
     "prove_zk",

@@ -327,6 +327,101 @@ def prove_r1cs_succinct_batch(
             for i, (w, seed) in enumerate(zip(witnesses, seeds))
         ]
 
+    fe = _gl_batch_frontend(
+        r1cs, witnesses, ctx, seeds, zk, params, blinding_seeds, device_lde
+    )
+    q, m, mask_len = fe.q, fe.m, fe.mask_len
+    d_bound, n0, omega_n, offset = fe.d_bound, fe.n0, fe.omega_n, fe.offset
+    s = len(witnesses)
+    cw, trees, roots = fe.cw, fe.trees, fe.roots
+    commitments, chals = fe.commitments, fe.chals
+    alphas, betas, evals = fe.alphas, fe.betas, fe.evals
+
+    # per-statement FRI transcripts + batched DEEP quotient
+    trs = []
+    lams = np.empty(s, dtype=np.uint64)
+    for i in range(s):
+        tr = _seed_fri_transcript(
+            q, m, mask_len, params, d_bound, roots[i],
+            int(alphas[i]), int(betas[i]), [int(v) for v in evals[i]],
+        )
+        lams[i] = tr.challenge_field(q, b"fri-lambda")
+        trs.append(tr)
+
+    xs = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))  # [n0]
+    inv_a = _gl_inverse_batch(glnp.gl_sub(xs[None, :], alphas[:, None]))
+    inv_b = _gl_inverse_batch(glnp.gl_sub(xs[None, :], betas[:, None]))
+    g = np.zeros((s, n0), dtype=np.uint64)
+    lam_pow = np.ones(s, dtype=np.uint64)
+    for k in range(4):
+        lam2 = glnp.gl_mul(lam_pow, lams)
+        term_a = glnp.gl_mul(
+            glnp.gl_mul(lam_pow[:, None], glnp.gl_sub(cw[:, k], evals[:, k][:, None])),
+            inv_a,
+        )
+        term_b = glnp.gl_mul(
+            glnp.gl_mul(lam2[:, None], glnp.gl_sub(cw[:, k], evals[:, 4 + k][:, None])),
+            inv_b,
+        )
+        g = glnp.gl_add(g, glnp.gl_add(term_a, term_b))
+        lam_pow = glnp.gl_mul(lam2, lams)
+
+    # batched FRI
+    inputs = [
+        [(cw[i, k], trees[i][k]) for k in range(4)] for i in range(s)
+    ]
+    fri_proofs = _fri_prove_batch(g, inputs, offset, omega_n, params, trs)
+
+    return [
+        SuccinctProofR1CS(
+            commitment_q=commitments[i],
+            input_roots=tuple(roots[i]),
+            challenge_alpha=chals[i][0],
+            challenge_beta=chals[i][1],
+            a_alpha=int(evals[i, 0]),
+            b_alpha=int(evals[i, 1]),
+            c_alpha=int(evals[i, 2]),
+            q_alpha=int(evals[i, 3]),
+            a_beta=int(evals[i, 4]),
+            b_beta=int(evals[i, 5]),
+            c_beta=int(evals[i, 6]),
+            q_beta=int(evals[i, 7]),
+            fri=fri_proofs[i],
+            m=m,
+            mask_len=mask_len,
+            log_blowup=params.log_blowup,
+            num_queries=params.num_queries,
+            final_len=params.final_len,
+            modulus=q,
+        )
+        for i in range(s)
+    ]
+
+
+class _BatchFrontend:
+    """Everything shared by the per-statement and aggregated succinct
+    provers: batched constraint evals, interpolations, quotients, masks,
+    RS codewords, Merkle trees, lattice commitments, dual challenges and
+    claimed evaluations."""
+
+    __slots__ = (
+        "q", "m", "mask_len", "d_bound", "n0", "omega_n", "offset",
+        "cw", "trees", "roots", "commitments", "chals",
+        "alphas", "betas", "evals",
+    )
+
+
+def _gl_batch_frontend(
+    r1cs: R1CS,
+    witnesses: Sequence[Sequence[int]],
+    ctx: lwe.LweContext,
+    seeds: Sequence[int],
+    zk: bool,
+    params: FriParams,
+    blinding_seeds: Optional[Sequence[int]],
+    device_lde: bool,
+) -> _BatchFrontend:
+    s = len(witnesses)
     q = r1cs.modulus
     m = r1cs.m
     mask_len = (2 * params.num_queries + 8) if zk else 0
@@ -436,65 +531,13 @@ def prove_r1cs_succinct_batch(
         evals[:, k] = _gl_eval_batch(p, alphas)
         evals[:, 4 + k] = _gl_eval_batch(p, betas)
 
-    # 8. per-statement FRI transcripts + batched DEEP quotient
-    trs = []
-    lams = np.empty(s, dtype=np.uint64)
-    for i in range(s):
-        tr = _seed_fri_transcript(
-            q, m, mask_len, params, d_bound, roots[i],
-            int(alphas[i]), int(betas[i]), [int(v) for v in evals[i]],
-        )
-        lams[i] = tr.challenge_field(q, b"fri-lambda")
-        trs.append(tr)
-
-    xs = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))  # [n0]
-    inv_a = _gl_inverse_batch(glnp.gl_sub(xs[None, :], alphas[:, None]))
-    inv_b = _gl_inverse_batch(glnp.gl_sub(xs[None, :], betas[:, None]))
-    g = np.zeros((s, n0), dtype=np.uint64)
-    lam_pow = np.ones(s, dtype=np.uint64)
-    for k in range(4):
-        lam2 = glnp.gl_mul(lam_pow, lams)
-        term_a = glnp.gl_mul(
-            glnp.gl_mul(lam_pow[:, None], glnp.gl_sub(cw[:, k], evals[:, k][:, None])),
-            inv_a,
-        )
-        term_b = glnp.gl_mul(
-            glnp.gl_mul(lam2[:, None], glnp.gl_sub(cw[:, k], evals[:, 4 + k][:, None])),
-            inv_b,
-        )
-        g = glnp.gl_add(g, glnp.gl_add(term_a, term_b))
-        lam_pow = glnp.gl_mul(lam2, lams)
-
-    # 9. batched FRI
-    inputs = [
-        [(cw[i, k], trees[i][k]) for k in range(4)] for i in range(s)
-    ]
-    fri_proofs = _fri_prove_batch(g, inputs, offset, omega_n, params, trs)
-
-    return [
-        SuccinctProofR1CS(
-            commitment_q=commitments[i],
-            input_roots=tuple(roots[i]),
-            challenge_alpha=chals[i][0],
-            challenge_beta=chals[i][1],
-            a_alpha=int(evals[i, 0]),
-            b_alpha=int(evals[i, 1]),
-            c_alpha=int(evals[i, 2]),
-            q_alpha=int(evals[i, 3]),
-            a_beta=int(evals[i, 4]),
-            b_beta=int(evals[i, 5]),
-            c_beta=int(evals[i, 6]),
-            q_beta=int(evals[i, 7]),
-            fri=fri_proofs[i],
-            m=m,
-            mask_len=mask_len,
-            log_blowup=params.log_blowup,
-            num_queries=params.num_queries,
-            final_len=params.final_len,
-            modulus=q,
-        )
-        for i in range(s)
-    ]
+    fe = _BatchFrontend()
+    fe.q, fe.m, fe.mask_len = q, m, mask_len
+    fe.d_bound, fe.n0, fe.omega_n, fe.offset = d_bound, n0, omega_n, offset
+    fe.cw, fe.trees, fe.roots = cw, trees, roots
+    fe.commitments, fe.chals = commitments, chals
+    fe.alphas, fe.betas, fe.evals = alphas, betas, evals
+    return fe
 
 
 # --- streaming service ---------------------------------------------------------------

@@ -291,4 +291,8 @@ def deserialize_any(data: bytes):
         from .succinct import SuccinctProofR1CS
 
         return SuccinctProofR1CS.from_bytes(data)
+    if kind == 8:  # aggregated succinct proofs (proof.aggregate)
+        from .aggregate import AggregatedProofR1CS
+
+        return AggregatedProofR1CS.from_bytes(data)
     raise SerializationError(f"unknown proof kind {kind}")
