@@ -130,7 +130,27 @@ def _proof_corpus(ctx=None):
         r45, w45, ctx45, seed=7, fri_params=FriParams(num_queries=4)
     )
     corpus.append(succinct.to_bytes())
-    return r1cs, ctx, corpus, binding.to_bytes(), r45
+    # aggregated (kind 8) needs the Goldilocks roots domain
+    from ..core.params import NTT_MODULUS
+    from ..proof.aggregate import prove_r1cs_succinct_aggregate
+
+    bgl = CircuitBuilder(NTT_MODULUS)
+    for _ in range(4):
+        bgl.alloc_var()
+    bgl.set_public_inputs(2)
+    for _ in range(4):
+        bgl.mul_gate(1, 2, 3)
+    rgl = bgl.build()
+    ctx_gl = setup(
+        Params(SecurityLevel.BITS128, Profile.ring_b(64, 1, NTT_MODULUS, 3.19))
+    )
+    wgl = [1, 7, 13, 91]
+    aggregate = prove_r1cs_succinct_aggregate(
+        rgl, [wgl, wgl], ctx_gl, [8, 9],
+        fri_params=FriParams(num_queries=4), device_lde=False,
+    )
+    corpus.append(aggregate.to_bytes())
+    return r1cs, ctx, corpus, binding.to_bytes(), r45, rgl
 
 
 def fuzz_deserializers(iterations: int = 2000, seed: int = 0,
@@ -139,7 +159,7 @@ def fuzz_deserializers(iterations: int = 2000, seed: int = 0,
     from ..proof.types import deserialize_any
 
     rng = random.Random(seed)
-    _r1cs, _ctx, corpus, binding_bytes, _r45 = _corpus or _proof_corpus()
+    _r1cs, _ctx, corpus, binding_bytes, _r45, _rgl = _corpus or _proof_corpus()
     rep = FuzzReport("deserializers", iterations, seed, [])
     for i in range(iterations):
         use_binding = rng.randrange(5) == 0
@@ -233,7 +253,7 @@ def fuzz_verify(iterations: int = 1000, seed: int = 0,
     from ..verifier import verify_r1cs, verify_r1cs_zk, verify_simple
 
     rng = random.Random(seed)
-    r1cs, _ctx, corpus, _bb, r45 = _corpus or _proof_corpus()
+    r1cs, _ctx, corpus, _bb, r45, rgl = _corpus or _proof_corpus()
     public = [1, 7]
     rep = FuzzReport("verify", iterations, seed, [])
     originals = set(corpus)
@@ -254,6 +274,14 @@ def fuzz_verify(iterations: int = 1000, seed: int = 0,
 
                 ok = verify_r1cs_succinct(
                     proof, public, r45, min_params=FriParams(num_queries=4)
+                )
+            elif type(proof).__name__ == "AggregatedProofR1CS":
+                from ..proof.aggregate import verify_r1cs_succinct_aggregate
+                from ..proof.fri import FriParams
+
+                ok = verify_r1cs_succinct_aggregate(
+                    proof, [public] * len(proof.statements), rgl,
+                    min_params=FriParams(num_queries=4),
                 )
             elif isinstance(proof, CompactProofR1CS):
                 ok = verify_r1cs_compact(proof, public, r1cs)

@@ -34,7 +34,7 @@ def test_truncation_regression():
     from lambda_snark_tpu.core.errors import LambdaSnarkError
     from lambda_snark_tpu.proof.types import deserialize_any
 
-    _r1cs, _ctx, corpus, binding, _r45 = fuzz._proof_corpus()
+    _r1cs, _ctx, corpus, binding, _r45, _rgl = fuzz._proof_corpus()
     for data in corpus:
         for cut in range(0, len(data), 7):
             try:
