@@ -383,6 +383,26 @@ def bench_succinct():
         batch[0].to_bytes() == proof.to_bytes()
     )
 
+    # aggregated proof: ONE shared FRI for the batch (kind 8)
+    from lambda_snark_tpu.proof.aggregate import (
+        prove_r1cs_succinct_aggregate,
+        verify_r1cs_succinct_aggregate,
+    )
+
+    t0 = time.time()
+    agg = prove_r1cs_succinct_aggregate(
+        r1cs, witnesses, ctx, seeds, device_lde=True
+    )
+    out[f"aggregate_prove_batch{s_batch}_m2pow13_s"] = time.time() - t0
+    sep_bytes = sum(len(p.to_bytes()) for p in batch)
+    out["aggregate_bytes_per_statement"] = len(agg.to_bytes()) / s_batch
+    out["aggregate_vs_separate_bytes"] = len(agg.to_bytes()) / sep_bytes
+    t0 = time.time()
+    out["aggregate_verify_ok"] = bool(
+        verify_r1cs_succinct_aggregate(agg, [[1]] * s_batch, r1cs)
+    )
+    out["aggregate_verify_s"] = time.time() - t0
+
     t0 = time.time()
     ok = verify_r1cs_succinct(proof, [1], r1cs)
     out["succinct_verify_m2pow13_s"] = time.time() - t0
