@@ -27,6 +27,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_M20_SECONDS = 0.218  # reference extrapolated NTT time at m=2^20
 
+# Wall-clock budget: the driver runs bench.py under a timeout (round 1 was
+# killed at rc=124 mid-way through the secondary sections). The headline JSON
+# line is printed and flushed as soon as it exists; secondary sections only
+# start while budget remains, and BENCH_LAST.json is rewritten after every
+# section so partial results survive any external kill.
+_START = time.time()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _START)
+
+
+class BudgetExceeded(Exception):
+    pass
+
+
+def _checkpoint(need_s: float = 30.0):
+    """Raise if fewer than `need_s` seconds of budget remain."""
+    if _remaining() < need_s:
+        raise BudgetExceeded(f"{_remaining():.0f}s left, need {need_s:.0f}s")
+
 
 def _rand_planes(rng, d, batch, m, q_top_digit):
     """Random field elements as digit planes (top digit < q's top digit)."""
@@ -148,7 +170,7 @@ def measure_marginal(fn, x, k_small: int = 1, k_large: int = 65, iters: int = 5)
     return best / (k_large - k_small)
 
 
-def bench_secondary():
+def bench_secondary(out=None):
     """Secondary metrics for BENCH_NOTES.md (best effort)."""
     import numpy as np
     import jax
@@ -165,13 +187,15 @@ def bench_secondary():
     from lambda_snark_tpu.ops import ntt_jax
     from lambda_snark_tpu.ops.limb import modulus_ctx
 
-    out = {}
+    if out is None:
+        out = {}
 
     def chain_time(fn, x, iters=5):
         return measure_marginal(fn, x, iters=iters)
 
     rng = np.random.default_rng(0)
 
+    _checkpoint(45)
     # q45 cyclic NTT at its maximum size m = 2^13
     q45 = NTT_FRIENDLY_MODULUS
     ctx45 = modulus_ctx(q45)
@@ -185,6 +209,7 @@ def bench_secondary():
     out["q45_m8192_batch64_per_transform_s"] = t / batch
     out["q45_m8192_mbutterflies_per_s"] = (m45 // 2) * 13 / (t / batch) / 1e6
 
+    _checkpoint(45)
     # Goldilocks negacyclic ring n = 4096 (the commitment kernel)
     p = NTT_MODULUS
     ctxp = modulus_ctx(p)
@@ -201,7 +226,7 @@ def bench_secondary():
     return out
 
 
-def bench_proofs_per_sec():
+def bench_proofs_per_sec(out=None):
     """Batched device prove stage throughput (m = 1024, ring n = 1024)."""
     import numpy as np
     import jax
@@ -214,6 +239,9 @@ def bench_proofs_per_sec():
     from lambda_snark_tpu.ops.limb import modulus_ctx
     from lambda_snark_tpu.pipeline import ProvePlan, prove_stage_batch_jit
 
+    if out is None:
+        out = {}
+    _checkpoint(60)
     q = NTT_FRIENDLY_MODULUS
     m = 1024
     n_ring = 1024
@@ -246,12 +274,11 @@ def bench_proofs_per_sec():
         return (mixed, a_pl, b_pl)
 
     per_batch = measure_marginal(step, (a_e, b_e, c_e), k_large=17, iters=5)
-    out = {
-        "prove_stage_m1024_n1024_batch32_s": per_batch,
-        "device_proofs_per_sec": batch / per_batch,
-    }
+    out["prove_stage_m1024_n1024_batch32_s"] = per_batch
+    out["device_proofs_per_sec"] = batch / per_batch
     # production shape: m = 4096 circuits, n = 4096 ring (the tv profile)
     try:
+        _checkpoint(60)
         m2, n2, b2 = 4096, 4096, 16
         params2 = Params(
             SecurityLevel.BITS128, Profile.ring_b(n=n2, k=2, q=q, sigma=3.19)
@@ -281,6 +308,7 @@ def bench_proofs_per_sec():
     # high-throughput shape: batch 256 routes through the MXU quotient
     # kernel (int8 systolic-array DFT leaves; ops/ntt_mxu_q45.py)
     try:
+        _checkpoint(60)
         b3 = 256
         def planes3():
             pl_ = rng.integers(0, 1 << 16, size=(3, b3, m2), dtype=np.uint32)
@@ -304,7 +332,7 @@ def bench_proofs_per_sec():
     return out
 
 
-def bench_succinct():
+def bench_succinct(out=None):
     """Succinct (FRI-bound) proving: device LDE + device Merkle hashing.
 
     End-to-end wall time (host transcript + device NTT/Keccak dispatches) for
@@ -328,8 +356,10 @@ def bench_succinct():
     )
     from lambda_snark_tpu.r1cs.circuit import CircuitBuilder
 
-    out = {}
+    if out is None:
+        out = {}
 
+    _checkpoint(45)
     # raw device SHA3-256 node-hash throughput
     rng = np.random.default_rng(0)
     batch = 1 << 19
@@ -339,6 +369,7 @@ def bench_succinct():
     per_call = measure_marginal(lambda d: kj.hash_nodes(d, d), d0, k_large=17, iters=5)
     out["sha3_device_mhash_per_s"] = batch / per_call / 1e6
 
+    _checkpoint(90)
     m = 1 << 13
     builder = CircuitBuilder(NTT_MODULUS)
     builder.alloc_var()
@@ -360,6 +391,7 @@ def bench_succinct():
         proof = prove_r1cs_succinct(r1cs, w, ctx, seed=7, device_lde=True)
         out[f"succinct_prove_m2pow13_{tag}_s"] = time.time() - t0
     # batched succinct proving (one device dispatch per stage for the batch)
+    _checkpoint(90)
     from lambda_snark_tpu.proof.succinct_batch import prove_r1cs_succinct_batch
 
     s_batch = 8
@@ -384,6 +416,7 @@ def bench_succinct():
     )
 
     # aggregated proof: ONE shared FRI for the batch (kind 8)
+    _checkpoint(60)
     from lambda_snark_tpu.proof.aggregate import (
         prove_r1cs_succinct_aggregate,
         verify_r1cs_succinct_aggregate,
@@ -409,6 +442,7 @@ def bench_succinct():
     out["succinct_verify_ok"] = bool(ok)
     out["succinct_proof_bytes_m2pow13"] = len(proof.to_bytes())
     # host-hash comparison point (same proof bytes, hashlib trees)
+    _checkpoint(60)
     fri.DEVICE_HASH = False
     try:
         t0 = time.time()
@@ -445,17 +479,29 @@ def main():
         }
         extra = None
     print(json.dumps(line))
-    if extra is not None:
-        for fn in (bench_secondary, bench_proofs_per_sec, bench_succinct):
-            try:
-                extra.update(fn())
-            except Exception as e:  # noqa: BLE001 - secondary metrics best-effort
-                extra[f"{fn.__name__}_error"] = f"{type(e).__name__}: {e}"[:200]
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
-            "w",
-        ) as f:
+    sys.stdout.flush()
+
+    def dump(extra):
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+        )
+        with open(path, "w") as f:
             json.dump(extra, f, indent=2, default=str)
+
+    if extra is not None:
+        extra["budget_s"] = _BUDGET_S
+        dump(extra)
+        for fn in (bench_secondary, bench_proofs_per_sec, bench_succinct):
+            section = {}
+            try:
+                fn(section)
+            except BudgetExceeded as e:
+                section[f"{fn.__name__}_skipped"] = str(e)
+            except Exception as e:  # noqa: BLE001 - secondary metrics best-effort
+                section[f"{fn.__name__}_error"] = f"{type(e).__name__}: {e}"[:200]
+            extra.update(section)
+            extra["elapsed_s"] = round(time.time() - _START, 1)
+            dump(extra)  # rewrite after every section: survive external kills
 
 
 if __name__ == "__main__":
