@@ -394,7 +394,7 @@ def bench_succinct(out=None):
     _checkpoint(90)
     from lambda_snark_tpu.proof.succinct_batch import prove_r1cs_succinct_batch
 
-    s_batch = 8
+    s_batch = 4
     witnesses = [w]
     for i in range(1, s_batch):
         vals_i = [r.randrange(NTT_MODULUS) for _ in range(m)]

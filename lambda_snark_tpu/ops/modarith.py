@@ -31,6 +31,24 @@ def _zero():
     return jnp.uint32(0)
 
 
+def cpu_fusion_barrier(x):
+    """Cut XLA fusion on the CPU backend only (pytree-preserving no-op on TPU).
+
+    XLA:CPU duplicates producer fusions into every consumer without a
+    recompute budget, so deep digit-arithmetic chains (subdigit extraction
+    -> bucket matmuls -> recombination -> mulmod) re-execute upstream work
+    per use and run ~1000x slow (measured: a 129 s leaf drops to ms with
+    barriers). On TPU — including inside real Pallas kernels — fusion is
+    what we want, so this is identity there.
+    """
+    import jax
+    from jax import lax
+
+    if jax.default_backend() == "tpu":
+        return x
+    return lax.optimization_barrier(x)
+
+
 def _unstack(x) -> List:
     return [x[i] for i in range(x.shape[0])]
 

@@ -42,8 +42,17 @@ from .limb import modulus_ctx
 
 P = NTT_MODULUS
 _T = 10  # 7-bit subdigits covering 64 bits
+_TB = 8  # balanced 8-bit subdigits covering 64 bits (production packed path)
 _CTX = modulus_ctx(P)
 _D = 4
+
+# Balanced base-256 representability bounds for 8 int8 digits in [-128, 127]:
+# max = 127 * (2^64-1)/255, min = -128 * (2^64-1)/255. Any residue mod P has a
+# representative in [min, max]: use w itself when w <= _MAXB, else w - P
+# (|w - P| <= P - _MAXB <= -min, checked in tests).
+_MAXB = 127 * ((1 << 64) - 1) // 255
+_MINB = -128 * ((1 << 64) - 1) // 255
+assert P - _MAXB <= -_MINB
 
 
 def _subdigit_planes_host(values: np.ndarray) -> np.ndarray:
@@ -56,6 +65,27 @@ def _subdigit_planes_host(values: np.ndarray) -> np.ndarray:
         for t in range(_T):
             buf[t, idx] = (v >> (7 * t)) & 0x7F
     return buf.reshape((_T,) + values.shape)
+
+
+def _subdigit_planes_balanced_host(values: np.ndarray) -> np.ndarray:
+    """Host: object array of residues mod p -> (8, ...) balanced int8 digits.
+
+    Each residue w gets the representative w (when w <= _MAXB) or w - p,
+    then an exact balanced base-256 expansion with digits in [-128, 127].
+    """
+    out = np.empty((_TB,) + values.shape, dtype=np.int8)
+    flat = values.reshape(-1)
+    buf = np.empty((_TB, flat.shape[0]), dtype=np.int8)
+    for idx, w in enumerate(flat):
+        v = int(w)
+        if v > _MAXB:
+            v -= P
+        for t in range(_TB):
+            d = ((v + 128) % 256) - 128
+            buf[t, idx] = d
+            v = (v - d) >> 8
+        assert v == 0
+    return buf.reshape((_TB,) + values.shape)
 
 
 def _extract_subdigits(x) -> List:
@@ -72,8 +102,54 @@ def _extract_subdigits(x) -> List:
     return subs
 
 
+def _fold_columns_goldilocks(cols: List, zero) -> jnp.ndarray:
+    """16-bit column accumulators (uint32) -> canonical digit planes.
+
+    Carry-propagates the columns to 16-bit digits, groups them into 32-bit
+    words w_i and folds the word weights with the Goldilocks identities
+    2^(32 i) mod p in {1, 2^32, 2^32 - 1, -1, -2^32, 1 - 2^32}.
+    """
+    n_cols = len(cols)
+    cols = [c if c is not None else zero for c in cols]
+    cols = modarith.cpu_fusion_barrier(cols)
+    digits = []
+    carry = zero
+    for j in range(n_cols + 1):
+        tot = (cols[j] if j < n_cols else zero) + carry
+        digits.append(tot & 0xFFFF)
+        carry = tot >> 16
+    digits = modarith.cpu_fusion_barrier(digits)
+
+    def planes2(lo16, hi16):
+        return jnp.stack([lo16, hi16, zero, zero])
+
+    def planes_shift32(lo16, hi16):
+        raw = jnp.stack([zero, zero, lo16, hi16])
+        # value < 2^64: one conditional subtract of p canonicalizes
+        ql = [jnp.uint32(d) for d in _CTX.q_digits]
+        r = modarith._cond_sub([raw[i] for i in range(4)], ql)
+        return jnp.stack(r)
+
+    w = [
+        (digits[2 * i], digits[2 * i + 1] if 2 * i + 1 < len(digits) else zero)
+        for i in range(6)
+    ]
+    acc_planes = planes2(*w[0])
+    acc_planes = modarith.add_mod(_CTX, acc_planes, planes_shift32(*w[1]))
+    t2 = modarith.sub_mod(_CTX, planes_shift32(*w[2]), planes2(*w[2]))
+    acc_planes = modarith.add_mod(_CTX, acc_planes, t2)
+    acc_planes = modarith.sub_mod(
+        _CTX, acc_planes, planes2(*w[3])
+    )
+    acc_planes = modarith.sub_mod(_CTX, acc_planes, planes_shift32(*w[4]))
+    t5 = modarith.sub_mod(_CTX, planes2(*w[5]), planes_shift32(*w[5]))
+    acc_planes = modarith.add_mod(_CTX, acc_planes, t5)
+    return modarith.cpu_fusion_barrier(acc_planes)
+
+
 def _recombine_goldilocks(buckets: List) -> jnp.ndarray:
     """Fold G_v * 2^(7v) sums (int32, < 2^25) into canonical digit planes."""
+    buckets = modarith.cpu_fusion_barrier(buckets)
     n_cols = 11
     cols = [None] * n_cols
 
@@ -96,42 +172,51 @@ def _recombine_goldilocks(buckets: List) -> jnp.ndarray:
         acc(j0 + 1, full2 & 0xFFFF)
         acc(j0 + 2, full2 >> 16)
     zero = jnp.zeros_like(buckets[0].astype(jnp.uint32))
-    cols = [c if c is not None else zero for c in cols]
-    # carry-propagate to 16-bit digits (11 digits + top carry < 2^16)
-    digits = []
-    carry = zero
-    for j in range(n_cols + 1):
-        tot = (cols[j] if j < n_cols else zero) + carry
-        digits.append(tot & 0xFFFF)
-        carry = tot >> 16
-    # group into 32-bit words w_i, weight 2^(32 i) mod p cycles
-    #   1, 2^32, 2^32 - 1, -1, -2^32, 1 - 2^32
-    def planes2(lo16, hi16):
-        return jnp.stack([lo16, hi16, zero, zero])
+    return _fold_columns_goldilocks(cols, zero)
 
-    def planes_shift32(lo16, hi16):
-        raw = jnp.stack([zero, zero, lo16, hi16])
-        # value < 2^64: one conditional subtract of p canonicalizes
-        ql = [jnp.uint32(d) for d in _CTX.q_digits]
-        r = modarith._cond_sub([raw[i] for i in range(4)], ql)
-        return jnp.stack(r)
 
-    w = [
-        (digits[2 * i], digits[2 * i + 1] if 2 * i + 1 < len(digits) else zero)
-        for i in range(6)
-    ]
-    acc_planes = planes2(*w[0])
-    acc_planes = modarith.add_mod(_CTX, acc_planes, planes_shift32(*w[1]))
-    t2 = modarith.sub_mod(_CTX, planes_shift32(*w[2]), planes2(*w[2]))
-    acc_planes = modarith.add_mod(_CTX, acc_planes, t2)
-    zero_planes = jnp.stack([zero] * 4)
-    acc_planes = modarith.sub_mod(
-        _CTX, acc_planes, planes2(*w[3])
+# bias constant for the balanced recombination: sum_v 2^24 * 2^(8v) mod p
+_BAL_BIAS = 1 << 24
+_BAL_BIAS_CONST = sum(_BAL_BIAS << (8 * v) for v in range(2 * _TB - 1)) % P
+
+
+def _recombine_goldilocks_bal(buckets: List) -> jnp.ndarray:
+    """Fold signed balanced-digit buckets G_v * 2^(8v) into canonical planes.
+
+    Buckets are int32 in [-2^24, 2^24] (<= 8 (t,u) pairs x 128 rows x 128^2
+    per product); adding the bias 2^24 makes every bucket non-negative
+    (<= 2^25) so the unsigned column machinery applies; the constant total
+    bias sum_v 2^24 * 2^(8v) is subtracted mod p at the end.
+    """
+    buckets = modarith.cpu_fusion_barrier(buckets)
+    n_cols = 11
+    cols = [None] * n_cols
+
+    def acc(j, val):
+        if j >= n_cols:
+            return
+        cols[j] = val if cols[j] is None else cols[j] + val
+
+    for v, g in enumerate(buckets):
+        gu = (g + jnp.int32(_BAL_BIAS)).astype(jnp.uint32)  # [0, 2^25]
+        c0 = gu & 0xFFFF
+        c1 = gu >> 16  # <= 2^9
+        p_bit = 8 * v
+        j0 = p_bit >> 4
+        o = p_bit & 15  # 0 or 8
+        full = c0 << o  # < 2^24
+        acc(j0, full & 0xFFFF)
+        acc(j0 + 1, full >> 16)
+        full2 = c1 << o  # <= 2^17
+        acc(j0 + 1, full2 & 0xFFFF)
+        acc(j0 + 2, full2 >> 16)
+    zero = jnp.zeros_like(buckets[0].astype(jnp.uint32))
+    acc_planes = _fold_columns_goldilocks(cols, zero)
+    bias_planes = jnp.stack(
+        [zero + jnp.uint32((_BAL_BIAS_CONST >> (16 * j)) & 0xFFFF)
+         for j in range(_D)]
     )
-    acc_planes = modarith.sub_mod(_CTX, acc_planes, planes_shift32(*w[4]))
-    t5 = modarith.sub_mod(_CTX, planes2(*w[5]), planes_shift32(*w[5]))
-    acc_planes = modarith.add_mod(_CTX, acc_planes, t5)
-    return acc_planes
+    return modarith.sub_mod(_CTX, acc_planes, bias_planes)
 
 
 _LANE = 128  # MXU/VPU lane width: packed DFT matrices are (T, 128, 128)
@@ -151,6 +236,7 @@ class DftMatmulPlan:
     omega: int
     w_subs: np.ndarray  # (T, B, B) int8
     w_subs_packed: Optional[np.ndarray]  # (T, 128, 128) int8 or None
+    w_subs_bal: Optional[np.ndarray] = None  # (8, 128, 128) balanced int8
 
     @staticmethod
     def create(b: int, omega: int) -> "DftMatmulPlan":
@@ -162,16 +248,23 @@ class DftMatmulPlan:
                 w[i, j] = acc
                 acc = field.mul_mod(acc, step, P)
         subs = _subdigit_planes_host(w)
-        packed = None
-        if b == _LANE:
-            packed = subs
-        elif b < _LANE and _LANE % b == 0:
-            reps = _LANE // b
-            packed = np.zeros((_T, _LANE, _LANE), dtype=np.int8)
-            for r_i in range(reps):
-                packed[:, r_i * b:(r_i + 1) * b, r_i * b:(r_i + 1) * b] = subs
+        subs_bal = _subdigit_planes_balanced_host(w)
+
+        def lane_pack(s):
+            t_dim = s.shape[0]
+            if b == _LANE:
+                return s
+            if b < _LANE and _LANE % b == 0:
+                reps = _LANE // b
+                out = np.zeros((t_dim, _LANE, _LANE), dtype=np.int8)
+                for r_i in range(reps):
+                    out[:, r_i * b:(r_i + 1) * b, r_i * b:(r_i + 1) * b] = s
+                return out
+            return None
+
         return DftMatmulPlan(b=b, omega=omega, w_subs=subs,
-                             w_subs_packed=packed)
+                             w_subs_packed=lane_pack(subs),
+                             w_subs_bal=lane_pack(subs_bal))
 
 
 def dft_matmul_apply(plan: DftMatmulPlan, x) -> jnp.ndarray:
@@ -237,22 +330,24 @@ def dft_matmul_apply_pallas(plan: DftMatmulPlan, x) -> jnp.ndarray:
         x = x.reshape(d, m_rows // reps, _LANE)
     rows = x.shape[1]
     tile = _pick_leaf_tile(rows)
-    interpret = jax.default_backend() != "tpu"
     w = jnp.asarray(plan.w_subs_packed)
-    out = pl.pallas_call(
-        _leaf_kernel,
-        grid=(rows // tile,),
-        in_specs=[
-            pl.BlockSpec((d, tile, _LANE), lambda i: (0, i, 0),
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((_T, _LANE, _LANE), lambda i: (0, 0, 0),
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((d, tile, _LANE), lambda i: (0, i, 0),
-                               memory_space=pl.ANY if interpret else pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        interpret=interpret,
-    )(x, w)
+    if jax.default_backend() != "tpu":
+        # CPU: plain-XLA kernel math (see _leaf_packed for rationale)
+        out = _recombine_goldilocks(_buckets(_extract_subdigits(x), w))
+    else:
+        out = pl.pallas_call(
+            _leaf_kernel,
+            grid=(rows // tile,),
+            in_specs=[
+                pl.BlockSpec((d, tile, _LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_T, _LANE, _LANE), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((d, tile, _LANE), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(x, w)
     if reps > 1:
         out = out.reshape(d, m_rows, b)
     return out
@@ -296,19 +391,67 @@ def _extract_subdigits_packed(x2) -> List:
     return subs
 
 
+def _extract_balanced_packed(x2) -> List:
+    """(2, M, B) packed canonical words -> 8 x (M, B) balanced int8 digits.
+
+    When X > _MAXB the digits encode X - p instead: Y = X + (2^32 - 1) is
+    computed with a wrapping 64-bit add (no overflow: X < p), and the
+    balanced byte expansion of Y with its final carry-out dropped equals
+    Y - 2^64 = X - p exactly (the carry-out is guaranteed 1 there, and
+    guaranteed 0 when X <= _MAXB). No carry matmul plane is needed.
+    """
+    lo, hi = x2[0], x2[1]
+    maxb_hi = jnp.uint32(_MAXB >> 32)
+    maxb_lo = jnp.uint32(_MAXB & 0xFFFFFFFF)
+    cond = (hi > maxb_hi) | ((hi == maxb_hi) & (lo > maxb_lo))
+    condu = cond.astype(jnp.uint32)
+    lo_f = lo + condu * jnp.uint32(0xFFFFFFFF)  # wraps iff lo >= 1
+    hi_f = hi + (condu & (lo_f < lo).astype(jnp.uint32))
+    subs = []
+    carry = jnp.zeros_like(lo)
+    for t in range(_TB):
+        word = lo_f if t < 4 else hi_f
+        u = (word >> (8 * (t & 3))) & 0xFF
+        s = u + carry  # <= 256
+        carry = (s >= 128).astype(jnp.uint32)
+        d = s.astype(jnp.int32) - (carry << 8).astype(jnp.int32)
+        subs.append(d.astype(jnp.int8))
+    return subs  # final carry dropped (== -2^64 when set)
+
+
+def _leaf_math_packed(x2, w, tw2, balanced):
+    """The packed leaf computation as a pure row-parallel function.
+
+    x2 (2, rows, 128) packed words, w (T, 128, 128) int8 DFT matrix,
+    tw2 (2, rows, 128) packed twiddles or None. The Pallas kernels apply
+    this per VMEM tile; the CPU path applies it to the whole array (the
+    math is independent of the tiling).
+    """
+    if balanced:
+        subs = modarith.cpu_fusion_barrier(_extract_balanced_packed(x2))
+        acc = _recombine_goldilocks_bal(_buckets_bal(subs, w))
+    else:
+        subs = modarith.cpu_fusion_barrier(_extract_subdigits_packed(x2))
+        acc = _recombine_goldilocks(_buckets(subs, w))
+    if tw2 is not None:
+        acc = modarith.mul_mod(_CTX, acc, unpack_planes_jnp(tw2))
+    return pack_planes_jnp(acc)
+
+
 def _leaf_kernel_packed(x_ref, w_ref, o_ref):
-    x2 = x_ref[:]
-    subs = _extract_subdigits_packed(x2)
-    acc = _recombine_goldilocks(_buckets(subs, w_ref))
-    o_ref[:] = pack_planes_jnp(acc)
+    o_ref[:] = _leaf_math_packed(x_ref[:], w_ref[:], None, False)
+
+
+def _leaf_kernel_packed_bal(x_ref, w_ref, o_ref):
+    o_ref[:] = _leaf_math_packed(x_ref[:], w_ref[:], None, True)
+
+
+def _leaf_kernel_packed_tw_bal(x_ref, w_ref, tw_ref, o_ref):
+    o_ref[:] = _leaf_math_packed(x_ref[:], w_ref[:], tw_ref[:], True)
 
 
 def _leaf_kernel_packed_tw(x_ref, w_ref, tw_ref, o_ref):
-    x2 = x_ref[:]
-    subs = _extract_subdigits_packed(x2)
-    acc = _recombine_goldilocks(_buckets(subs, w_ref))
-    tw = unpack_planes_jnp(tw_ref[:])
-    o_ref[:] = pack_planes_jnp(modarith.mul_mod(_CTX, acc, tw))
+    o_ref[:] = _leaf_math_packed(x_ref[:], w_ref[:], tw_ref[:], False)
 
 
 def _buckets(subs: List, w_ref) -> List:
@@ -318,6 +461,25 @@ def _buckets(subs: List, w_ref) -> List:
         for t in range(_T):
             u = v - t
             if 0 <= u < _T:
+                p_tu = lax.dot_general(
+                    subs[t], w_ref[u],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                g = p_tu if g is None else g + p_tu
+        out.append(g)
+    return out
+
+
+def _buckets_bal(subs: List, w_ref) -> List:
+    """8x8 balanced-digit products: 64 int8 matmuls vs the 100 of the 7-bit
+    path — the leaf is MXU-op-bound at m = 2^20, so this is the win."""
+    out = []
+    for v in range(2 * _TB - 1):
+        g = None
+        for t in range(_TB):
+            u = v - t
+            if 0 <= u < _TB:
                 p_tu = lax.dot_general(
                     subs[t], w_ref[u],
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -349,12 +511,23 @@ def _packed_twiddle_host(tw4: np.ndarray, r: int, c: int, reps: int) -> np.ndarr
     return np.stack([w0, w1])
 
 
-def _leaf_packed(plan: DftMatmulPlan, x2, tw2: Optional[np.ndarray]):
+# Production representation for the packed leaf kernels: balanced base-256
+# digits (8x8 = 64 int8 matmuls) vs 7-bit unsigned (10x10 = 100). Module
+# flag so experiments can A/B the two in one process.
+PACKED_BALANCED = True
+
+
+def _leaf_packed(plan: DftMatmulPlan, x2, tw2: Optional[np.ndarray],
+                 balanced: Optional[bool] = None):
     """(2, M, B) packed -> packed DFT (optionally x per-element twiddle).
 
     tw2: packed A_t-layout twiddle pattern (2, period, 128) or None.
     """
-    assert plan.w_subs_packed is not None, f"no packed form for B={plan.b}"
+    if balanced is None:
+        balanced = PACKED_BALANCED
+    w_np = plan.w_subs_bal if balanced else plan.w_subs_packed
+    assert w_np is not None, f"no packed form for B={plan.b}"
+    t_dim = w_np.shape[0]
     _two, m_rows, b = x2.shape
     reps = _LANE // b
     if reps > 1:
@@ -362,16 +535,30 @@ def _leaf_packed(plan: DftMatmulPlan, x2, tw2: Optional[np.ndarray]):
         x2 = x2.reshape(2, m_rows // reps, _LANE)
     rows = x2.shape[1]
     tile = _pick_leaf_tile(rows)
-    interpret = jax.default_backend() != "tpu"
-    mem = pl.ANY if interpret else pltpu.VMEM
-    w = jnp.asarray(plan.w_subs_packed)
+    w = jnp.asarray(w_np)
+    if jax.default_backend() != "tpu":
+        # CPU: run the kernel math as plain XLA on the whole array —
+        # interpret-mode Pallas compiles are pathologically slow and the
+        # math is independent of the VMEM tiling (table patterns tile to
+        # all rows). The real Mosaic kernel is validated on the TPU by
+        # scripts/exp_balanced.py / exp_mxu_fused.py.
+        full_tw = None
+        if tw2 is not None:
+            period = tw2.shape[1]
+            assert rows % period == 0, (rows, period)
+            full_tw = jnp.asarray(np.tile(tw2, (1, rows // period, 1)))
+        out = _leaf_math_packed(x2, w, full_tw, balanced)
+        if reps > 1:
+            out = out.reshape(2, m_rows, b)
+        return out
+    mem = pltpu.VMEM
     in_specs = [
         pl.BlockSpec((2, tile, _LANE), lambda i: (0, i, 0), memory_space=mem),
-        pl.BlockSpec((_T, _LANE, _LANE), lambda i: (0, 0, 0),
+        pl.BlockSpec((t_dim, _LANE, _LANE), lambda i: (0, 0, 0),
                      memory_space=mem),
     ]
     operands = [x2, w]
-    kernel = _leaf_kernel_packed
+    kernel = _leaf_kernel_packed_bal if balanced else _leaf_kernel_packed
     if tw2 is not None:
         period = tw2.shape[1]
         if period % tile == 0:
@@ -391,7 +578,7 @@ def _leaf_packed(plan: DftMatmulPlan, x2, tw2: Optional[np.ndarray]):
                              memory_space=mem)
             )
             operands.append(jnp.asarray(tiled))
-        kernel = _leaf_kernel_packed_tw
+        kernel = _leaf_kernel_packed_tw_bal if balanced else _leaf_kernel_packed_tw
     out = pl.pallas_call(
         kernel,
         grid=(rows // tile,),
@@ -399,7 +586,6 @@ def _leaf_packed(plan: DftMatmulPlan, x2, tw2: Optional[np.ndarray]):
         out_specs=pl.BlockSpec((2, tile, _LANE), lambda i: (0, i, 0),
                                memory_space=mem),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
-        interpret=interpret,
     )(*operands)
     if reps > 1:
         out = out.reshape(2, m_rows, b)
@@ -525,10 +711,11 @@ def ntt_forward_mxu(plan: MxuNttPlan, x, fused: bool = False) -> jnp.ndarray:
     return _apply(plan, x, fused)
 
 
-def _apply_packed(plan: MxuNttPlan, x2) -> jnp.ndarray:
+def _apply_packed(plan: MxuNttPlan, x2,
+                  balanced: Optional[bool] = None) -> jnp.ndarray:
     """Packed pipeline: x2 (2, M, m) words -> DFT, twiddles fused in-leaf."""
     if plan.leaf is not None:
-        return _leaf_packed(plan.leaf, x2, None)
+        return _leaf_packed(plan.leaf, x2, None, balanced)
     r, c = plan.r, plan.c
     m_rows = x2.shape[1]
     assert plan.plan_r.leaf is not None and plan.tw_packed is not None
@@ -536,18 +723,19 @@ def _apply_packed(plan: MxuNttPlan, x2) -> jnp.ndarray:
     Xt = jnp.swapaxes(X, 2, 3).reshape(2, m_rows * c, r)
     # step 1 + step 2 in one kernel: R-point DFT leaf with the level's
     # twiddle omega^(h*b) applied in A_t layout before writeback
-    A_t = _leaf_packed(plan.plan_r.leaf, Xt, plan.tw_packed)
+    A_t = _leaf_packed(plan.plan_r.leaf, Xt, plan.tw_packed, balanced)
     A = jnp.swapaxes(A_t.reshape(2, m_rows, c, r), 2, 3)
     # step 3: C-point DFTs along rows (recursive, twiddles fused inside)
-    F = _apply_packed(plan.plan_c, A.reshape(2, m_rows * r, c))
+    F = _apply_packed(plan.plan_c, A.reshape(2, m_rows * r, c), balanced)
     F = F.reshape(2, m_rows, r, c)
     # step 4: out[h + R*g] = F[h, g]
     return jnp.swapaxes(F, 2, 3).reshape(2, m_rows, plan.m)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def ntt_forward_mxu_packed(plan: MxuNttPlan, x2) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def ntt_forward_mxu_packed(plan: MxuNttPlan, x2,
+                           balanced: Optional[bool] = None) -> jnp.ndarray:
     """Forward NTT on packed (2, M, m) uint32 words (lo, hi) — the
     production representation: half the HBM bytes of digit planes, all
     elementwise work fused into the DFT leaf kernels."""
-    return _apply_packed(plan, x2)
+    return _apply_packed(plan, x2, balanced)

@@ -42,7 +42,15 @@ Q = NTT_FRIENDLY_MODULUS
 _CTX = modulus_ctx(Q)
 _D = 3
 _T = 7  # 7-bit subdigits covering 49 >= 45 bits
+_TB = 6  # balanced 8-bit subdigits covering 48 >= 45 bits (production)
 _LANE = 128
+
+# Balanced base-256 representability for 6 int8 digits: max = 127*(2^48-1)/255
+# >> 2^44 > q, so every residue (data and W side) encodes directly — no
+# representative shift and no carry-out is ever needed (top byte of a < 2^44
+# value is < 2^4, so the balancing carry cannot escape).
+_MAXB6 = 127 * ((1 << 48) - 1) // 255
+assert Q < _MAXB6
 
 
 # --- packing -----------------------------------------------------------------
@@ -79,9 +87,29 @@ def _extract_subdigits(digits) -> List:
     return subs
 
 
+def _extract_balanced_q45(x2) -> List:
+    """(2, M, B) packed canonical words -> 6 x (M, B) balanced int8 digits.
+
+    Word layout: w0 = bits 0..31, w1 = bits 32..47. Values < q < 2^44, so
+    the balanced base-256 chain never produces a final carry (top byte +
+    carry < 17 < 128).
+    """
+    subs = []
+    carry = jnp.zeros_like(x2[0])
+    for t in range(_TB):
+        word = x2[0] if t < 4 else x2[1]
+        u = (word >> (8 * (t & 3))) & 0xFF
+        s = u + carry  # <= 256
+        carry = (s >= 128).astype(jnp.uint32)
+        d = s.astype(jnp.int32) - (carry << 8).astype(jnp.int32)
+        subs.append(d.astype(jnp.int8))
+    return subs
+
+
 def _recombine_q45(buckets: List) -> jnp.ndarray:
     """Fold sum_v G_v 2^(7v) (G_v int32 < 2^24, v <= 12 -> value < 2^97)
     into canonical (3, ...) digit planes via three Solinas folds."""
+    buckets = modarith.cpu_fusion_barrier(buckets)
     n_cols = 7  # ceil(97 / 16) + headroom for carries
     cols = [None] * n_cols
 
@@ -105,12 +133,14 @@ def _recombine_q45(buckets: List) -> jnp.ndarray:
         acc(j0 + 2, full2 >> 16)
     zero = jnp.zeros_like(buckets[0].astype(jnp.uint32))
     cols = [c if c is not None else zero for c in cols]
+    cols = modarith.cpu_fusion_barrier(cols)
     digits = []
     carry = zero
     for j in range(n_cols + 1):
         tot = (cols[j] if j < n_cols else zero) + carry
         digits.append(tot & 0xFFFF)
         carry = tot >> 16
+    digits = modarith.cpu_fusion_barrier(digits)
     # value < 2^97: fold 97 -> 78 -> 59 -> < 2^45, two conditional subtracts
     r = modarith._fold_q45(digits, 97)
     r = modarith._fold_q45(r, 78)
@@ -122,10 +152,91 @@ def _recombine_q45(buckets: List) -> jnp.ndarray:
         r.append(zero)
     r = modarith._cond_sub(r[:4], q_ext)
     r = modarith._cond_sub(r, q_ext)
-    return jnp.stack(r[:3])
+    return modarith.cpu_fusion_barrier(jnp.stack(r[:3]))
+
+
+# bias constant for the balanced recombination: sum_v 2^24 * 2^(8v) mod q
+_BAL_BIAS = 1 << 24
+_BAL_BIAS_CONST = sum(_BAL_BIAS << (8 * v) for v in range(2 * _TB - 1)) % Q
+
+
+def _recombine_q45_bal(buckets: List) -> jnp.ndarray:
+    """Fold signed balanced buckets G_v * 2^(8v) into canonical digit planes.
+
+    Buckets are int32 in [-2^23.6, 2^23.6] (<= 6 (t,u) pairs x 128 rows x
+    128^2); bias 2^24 makes them non-negative (< 2^25), the biased total
+    (< 2^106) folds with four Solinas passes, and the constant bias sum is
+    subtracted mod q at the end.
+    """
+    buckets = modarith.cpu_fusion_barrier(buckets)
+    n_cols = 8  # max p_bit 80 -> columns to 80/16 + 2
+    cols = [None] * n_cols
+
+    def acc(j, val):
+        if j >= n_cols or val is None:
+            return
+        cols[j] = val if cols[j] is None else cols[j] + val
+
+    for v, g in enumerate(buckets):
+        gu = (g + jnp.int32(_BAL_BIAS)).astype(jnp.uint32)  # < 2^25
+        c0 = gu & 0xFFFF
+        c1 = gu >> 16  # <= 2^9
+        p_bit = 8 * v
+        j0 = p_bit >> 4
+        o = p_bit & 15  # 0 or 8
+        full = c0 << o  # < 2^24
+        acc(j0, full & 0xFFFF)
+        acc(j0 + 1, full >> 16)
+        full2 = c1 << o  # <= 2^17
+        acc(j0 + 1, full2 & 0xFFFF)
+        acc(j0 + 2, full2 >> 16)
+    zero = jnp.zeros_like(buckets[0].astype(jnp.uint32))
+    cols = [c if c is not None else zero for c in cols]
+    cols = modarith.cpu_fusion_barrier(cols)
+    digits = []
+    carry = zero
+    for j in range(n_cols + 1):
+        tot = (cols[j] if j < n_cols else zero) + carry
+        digits.append(tot & 0xFFFF)
+        carry = tot >> 16
+    digits = modarith.cpu_fusion_barrier(digits)
+    # biased value < 2^25 * 2^80 * 256/255 < 2^106
+    r = modarith._fold_q45(digits, 106)  # -> < 2^88
+    r = modarith._fold_q45(r, 88)        # -> < 2^70
+    r = modarith._fold_q45(r, 70)        # -> < 2^52
+    r = modarith._fold_q45(r, 52)        # -> < 2^45
+    q_ext = modarith._const_digits(
+        (Q & 0xFFFF, (Q >> 16) & 0xFFFF, (Q >> 32) & 0xFFFF, 0)
+    )
+    while len(r) < 4:
+        r.append(zero)
+    r = modarith._cond_sub(r[:4], q_ext)
+    r = modarith._cond_sub(r, q_ext)
+    acc_planes = jnp.stack(r[:3])
+    bias_planes = jnp.stack(
+        [zero + jnp.uint32((_BAL_BIAS_CONST >> (16 * j)) & 0xFFFF)
+         for j in range(_D)]
+    )
+    return modarith.cpu_fusion_barrier(
+        modarith.sub_mod(_CTX, acc_planes, bias_planes)
+    )
 
 
 # --- DFT leaf plans -----------------------------------------------------------
+
+
+def _subdigit_planes_balanced_host(values: np.ndarray) -> np.ndarray:
+    """Host: residues mod q (< 2^44) -> (6, ...) balanced int8 digits."""
+    flat = values.reshape(-1)
+    buf = np.empty((_TB, flat.shape[0]), dtype=np.int8)
+    for idx, w in enumerate(flat):
+        v = int(w)
+        for t in range(_TB):
+            d = ((v + 128) % 256) - 128
+            buf[t, idx] = d
+            v = (v - d) >> 8
+        assert v == 0
+    return buf.reshape((_TB,) + values.shape)
 
 
 def _subdigit_planes_host(values: np.ndarray) -> np.ndarray:
@@ -144,6 +255,7 @@ class Q45Leaf:
     b: int
     omega: int
     w_subs_packed: np.ndarray  # (T, 128, 128) int8, block-diagonal for b<128
+    w_subs_bal: Optional[np.ndarray] = None  # (6, 128, 128) balanced int8
 
     @staticmethod
     def create(b: int, omega: int) -> "Q45Leaf":
@@ -155,24 +267,30 @@ class Q45Leaf:
                 w[i, j] = acc
                 acc = field.mul_mod(acc, step, Q)
         subs = _subdigit_planes_host(w)
-        if b == _LANE:
-            packed = subs
-        else:
+        subs_bal = _subdigit_planes_balanced_host(w)
+
+        def lane_pack(s):
+            t_dim = s.shape[0]
+            if b == _LANE:
+                return s
             assert _LANE % b == 0
             reps = _LANE // b
-            packed = np.zeros((_T, _LANE, _LANE), dtype=np.int8)
+            packed = np.zeros((t_dim, _LANE, _LANE), dtype=np.int8)
             for r_i in range(reps):
-                packed[:, r_i * b:(r_i + 1) * b, r_i * b:(r_i + 1) * b] = subs
-        return Q45Leaf(b=b, omega=omega, w_subs_packed=packed)
+                packed[:, r_i * b:(r_i + 1) * b, r_i * b:(r_i + 1) * b] = s
+            return packed
+
+        return Q45Leaf(b=b, omega=omega, w_subs_packed=lane_pack(subs),
+                       w_subs_bal=lane_pack(subs_bal))
 
 
-def _buckets(subs: List, w_ref) -> List:
+def _buckets_t(subs: List, w_ref, t_count: int) -> List:
     out = []
-    for v in range(2 * _T - 1):
+    for v in range(2 * t_count - 1):
         g = None
-        for t in range(_T):
+        for t in range(t_count):
             u = v - t
-            if 0 <= u < _T:
+            if 0 <= u < t_count:
                 p_tu = lax.dot_general(
                     subs[t], w_ref[u],
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -183,19 +301,50 @@ def _buckets(subs: List, w_ref) -> List:
     return out
 
 
+def _buckets(subs: List, w_ref) -> List:
+    return _buckets_t(subs, w_ref, _T)
+
+
 # Leaf kernel variants: optional input-table multiply (natural-layout twist)
 # and output-table multiply (four-step twiddle / untwist / scales).
 
 
-def _leaf_body(x_ref, w_ref, o_ref, tin_ref=None, tout_ref=None):
-    x = unpack_q45_jnp(x_ref[:])
-    if tin_ref is not None:
-        x = modarith.mul_mod(_CTX, x, unpack_q45_jnp(tin_ref[:]))
-    subs = _extract_subdigits(x)
-    acc = _recombine_q45(_buckets(subs, w_ref))
-    if tout_ref is not None:
-        acc = modarith.mul_mod(_CTX, acc, unpack_q45_jnp(tout_ref[:]))
-    o_ref[:] = pack_q45_jnp(acc)
+def _leaf_math(x2, w, tin2, tout2, balanced):
+    """The q45 leaf computation as a pure row-parallel function.
+
+    x2 (2, rows, 128) packed words; w (T, 128, 128) int8; tin2/tout2
+    packed table arrays matching x2's rows, or None.
+    """
+    if balanced and tin2 is None:
+        subs = modarith.cpu_fusion_barrier(_extract_balanced_q45(x2))
+        acc = _recombine_q45_bal(_buckets_t(subs, w, _TB))
+    else:
+        x = unpack_q45_jnp(x2)
+        if tin2 is not None:
+            x = modarith.cpu_fusion_barrier(
+                modarith.mul_mod(_CTX, x, unpack_q45_jnp(tin2))
+            )
+        if balanced:
+            subs = modarith.cpu_fusion_barrier(
+                _extract_balanced_q45(pack_q45_jnp(x))
+            )
+            acc = _recombine_q45_bal(_buckets_t(subs, w, _TB))
+        else:
+            subs = modarith.cpu_fusion_barrier(_extract_subdigits(x))
+            acc = _recombine_q45(_buckets(subs, w))
+    if tout2 is not None:
+        acc = modarith.mul_mod(_CTX, acc, unpack_q45_jnp(tout2))
+    return pack_q45_jnp(acc)
+
+
+def _leaf_body(x_ref, w_ref, o_ref, tin_ref=None, tout_ref=None,
+               balanced=False):
+    o_ref[:] = _leaf_math(
+        x_ref[:], w_ref[:],
+        tin_ref[:] if tin_ref is not None else None,
+        tout_ref[:] if tout_ref is not None else None,
+        balanced,
+    )
 
 
 def _k_plain(x_ref, w_ref, o_ref):
@@ -212,6 +361,23 @@ def _k_tin(x_ref, w_ref, tin_ref, o_ref):
 
 def _k_tin_tout(x_ref, w_ref, tin_ref, tout_ref, o_ref):
     _leaf_body(x_ref, w_ref, o_ref, tin_ref=tin_ref, tout_ref=tout_ref)
+
+
+def _k_plain_bal(x_ref, w_ref, o_ref):
+    _leaf_body(x_ref, w_ref, o_ref, balanced=True)
+
+
+def _k_tout_bal(x_ref, w_ref, tout_ref, o_ref):
+    _leaf_body(x_ref, w_ref, o_ref, tout_ref=tout_ref, balanced=True)
+
+
+def _k_tin_bal(x_ref, w_ref, tin_ref, o_ref):
+    _leaf_body(x_ref, w_ref, o_ref, tin_ref=tin_ref, balanced=True)
+
+
+def _k_tin_tout_bal(x_ref, w_ref, tin_ref, tout_ref, o_ref):
+    _leaf_body(x_ref, w_ref, o_ref, tin_ref=tin_ref, tout_ref=tout_ref,
+               balanced=True)
 
 
 def _pick_tile(rows: int) -> int:
@@ -239,11 +405,21 @@ def _table_spec_and_operand(tab: np.ndarray, tile: int, mem):
     return spec, jnp.asarray(tiled)
 
 
+# Production representation for the q45 leaf kernels: balanced base-256
+# digits (6x6 = 36 int8 matmuls) vs 7-bit unsigned (7x7 = 49).
+PACKED_BALANCED = True
+
+
 def _leaf_apply(leaf: Q45Leaf, x2, tin: Optional[np.ndarray],
-                tout: Optional[np.ndarray]) -> jnp.ndarray:
+                tout: Optional[np.ndarray],
+                balanced: Optional[bool] = None) -> jnp.ndarray:
     """(2, M, B) packed -> packed DFT along the last axis, with optional
     natural-layout input twist and output twiddle row-pattern tables
     (both already lane-packed, shape (2, period, 128))."""
+    if balanced is None:
+        balanced = PACKED_BALANCED
+    w_np = leaf.w_subs_bal if balanced else leaf.w_subs_packed
+    t_dim = w_np.shape[0]
     _two, m_rows, b = x2.shape
     reps = _LANE // b
     if reps > 1:
@@ -251,22 +427,37 @@ def _leaf_apply(leaf: Q45Leaf, x2, tin: Optional[np.ndarray],
         x2 = x2.reshape(2, m_rows // reps, _LANE)
     rows = x2.shape[1]
     tile = _pick_tile(rows)
-    interpret = jax.default_backend() != "tpu"
-    mem = pl.ANY if interpret else pltpu.VMEM
+    w = jnp.asarray(w_np)
+    if jax.default_backend() != "tpu":
+        # CPU: plain-XLA kernel math — interpret-mode Pallas compiles are
+        # pathologically slow; the math is tiling-independent (tables tile
+        # to all rows). Real-kernel validation: scripts/exp_balanced.py.
+        def full(tab):
+            if tab is None:
+                return None
+            period = tab.shape[1]
+            assert rows % period == 0, (rows, period)
+            return jnp.asarray(np.tile(tab, (1, rows // period, 1)))
+
+        out = _leaf_math(x2, w, full(tin), full(tout), balanced)
+        if reps > 1:
+            out = out.reshape(2, m_rows, b)
+        return out
+    mem = pltpu.VMEM
     in_specs = [
         pl.BlockSpec((2, tile, _LANE), lambda i: (0, i, 0), memory_space=mem),
-        pl.BlockSpec((_T, _LANE, _LANE), lambda i: (0, 0, 0),
+        pl.BlockSpec((t_dim, _LANE, _LANE), lambda i: (0, 0, 0),
                      memory_space=mem),
     ]
-    operands = [x2, jnp.asarray(leaf.w_subs_packed)]
+    operands = [x2, w]
     if tin is not None and tout is not None:
-        kernel = _k_tin_tout
+        kernel = _k_tin_tout_bal if balanced else _k_tin_tout
     elif tin is not None:
-        kernel = _k_tin
+        kernel = _k_tin_bal if balanced else _k_tin
     elif tout is not None:
-        kernel = _k_tout
+        kernel = _k_tout_bal if balanced else _k_tout
     else:
-        kernel = _k_plain
+        kernel = _k_plain_bal if balanced else _k_plain
     for tab in (tin, tout):
         if tab is not None:
             spec, op = _table_spec_and_operand(tab, tile, mem)
@@ -279,7 +470,6 @@ def _leaf_apply(leaf: Q45Leaf, x2, tin: Optional[np.ndarray],
         out_specs=pl.BlockSpec((2, tile, _LANE), lambda i: (0, i, 0),
                                memory_space=mem),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
-        interpret=interpret,
     )(*operands)
     if reps > 1:
         out = out.reshape(2, m_rows, b)
@@ -376,7 +566,8 @@ class Q45MxuPlan:
                           tw=tw, twist=twist, untwist=untwist)
 
 
-def fourstep_apply(plan: Q45MxuPlan, x2) -> jnp.ndarray:
+def fourstep_apply(plan: Q45MxuPlan, x2,
+                   balanced: Optional[bool] = None) -> jnp.ndarray:
     """x2: (2, M, m) packed -> DFT along the last axis (natural in/out),
     with the plan's fused twist/twiddle/untwist tables."""
     r, c = plan.r, plan.c
@@ -385,11 +576,11 @@ def fourstep_apply(plan: Q45MxuPlan, x2) -> jnp.ndarray:
     Xt = jnp.swapaxes(X, 2, 3).reshape(2, m_rows * c, r)
     # r-phase leaf: optional input twist (natural layout), four-step twiddle
     # (x scale) on the output
-    A_t = _leaf_apply(plan.leaf_r, Xt, plan.twist, plan.tw)
+    A_t = _leaf_apply(plan.leaf_r, Xt, plan.twist, plan.tw, balanced)
     A = jnp.swapaxes(A_t.reshape(2, m_rows, c, r), 2, 3)
     # c-phase leaf: optional output untwist
     F = _leaf_apply(plan.leaf_c, A.reshape(2, m_rows * r, c), None,
-                    plan.untwist)
+                    plan.untwist, balanced)
     F = F.reshape(2, m_rows, r, c)
     return jnp.swapaxes(F, 2, 3).reshape(2, m_rows, plan.m)
 
@@ -450,22 +641,23 @@ def _mul_sub_packed(a2, b2, c2):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def quotient_batch_mxu(qp: Q45QuotientPlan, a_evals, b_evals, c_evals):
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def quotient_batch_mxu(qp: Q45QuotientPlan, a_evals, b_evals, c_evals,
+                       balanced: Optional[bool] = None):
     """Drop-in MXU replacement for ``pipeline.quotient_batch``: (3, B, m)
     natural-order digit planes in, (q, a_poly, b_poly, c_poly, valid) out.
     """
     a2 = pack_q45_jnp(a_evals)
     b2 = pack_q45_jnp(b_evals)
     c2 = pack_q45_jnp(c_evals)
-    a_poly2 = fourstep_apply(qp.intt, a2)
-    b_poly2 = fourstep_apply(qp.intt, b2)
-    c_poly2 = fourstep_apply(qp.intt, c2)
-    a_odd = fourstep_apply(qp.fwd_twisted, a_poly2)
-    b_odd = fourstep_apply(qp.fwd_twisted, b_poly2)
-    c_odd = fourstep_apply(qp.fwd_twisted, c_poly2)
+    a_poly2 = fourstep_apply(qp.intt, a2, balanced)
+    b_poly2 = fourstep_apply(qp.intt, b2, balanced)
+    c_poly2 = fourstep_apply(qp.intt, c2, balanced)
+    a_odd = fourstep_apply(qp.fwd_twisted, a_poly2, balanced)
+    b_odd = fourstep_apply(qp.fwd_twisted, b_poly2, balanced)
+    c_odd = fourstep_apply(qp.fwd_twisted, c_poly2, balanced)
     n_odd = _mul_sub_packed(a_odd, b_odd, c_odd)
-    q2 = fourstep_apply(qp.inv_untwisted, n_odd)
+    q2 = fourstep_apply(qp.inv_untwisted, n_odd, balanced)
     residual = modarith.sub_mod(
         _CTX, modarith.mul_mod(_CTX, a_evals, b_evals), c_evals
     )

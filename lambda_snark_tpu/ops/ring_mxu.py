@@ -41,8 +41,11 @@ from .ntt_mxu import (
     _LANE,
     _T,
     _buckets,
+    _buckets_bal,
+    _extract_balanced_packed,
     _extract_subdigits_packed,
     _recombine_goldilocks,
+    _recombine_goldilocks_bal,
     DftMatmulPlan,
     pack_planes_jnp,
     unpack_planes_jnp,
@@ -76,19 +79,38 @@ def _row_pattern_table(fn, lanes_n: int, rows_period: int,
 # --- leaf kernels with optional input/output tables ---------------------------
 
 
-def _leaf_body(x_ref, w_ref, o_ref, tin_ref=None, tout_ref=None):
-    x2 = x_ref[:]
-    if tin_ref is not None:
-        x4 = modarith.mul_mod(
-            _CTX, unpack_planes_jnp(x2), unpack_planes_jnp(tin_ref[:])
-        )
-        subs = _extract_subdigits(x4)
+def _leaf_math(x2, w, tin2, tout2, balanced):
+    """The ring leaf computation as a pure row-parallel function."""
+    if tin2 is not None:
+        x4 = modarith.cpu_fusion_barrier(modarith.mul_mod(
+            _CTX, unpack_planes_jnp(x2), unpack_planes_jnp(tin2)
+        ))
+        x2 = pack_planes_jnp(x4)
+        if balanced:
+            subs = _extract_balanced_packed(x2)
+        else:
+            subs = _extract_subdigits(x4)
     else:
-        subs = _extract_subdigits_packed(x2)
-    acc = _recombine_goldilocks(_buckets(subs, w_ref))
-    if tout_ref is not None:
-        acc = modarith.mul_mod(_CTX, acc, unpack_planes_jnp(tout_ref[:]))
-    o_ref[:] = pack_planes_jnp(acc)
+        subs = (_extract_balanced_packed(x2) if balanced
+                else _extract_subdigits_packed(x2))
+    subs = modarith.cpu_fusion_barrier(subs)
+    if balanced:
+        acc = _recombine_goldilocks_bal(_buckets_bal(subs, w))
+    else:
+        acc = _recombine_goldilocks(_buckets(subs, w))
+    if tout2 is not None:
+        acc = modarith.mul_mod(_CTX, acc, unpack_planes_jnp(tout2))
+    return pack_planes_jnp(acc)
+
+
+def _leaf_body(x_ref, w_ref, o_ref, tin_ref=None, tout_ref=None,
+               balanced=False):
+    o_ref[:] = _leaf_math(
+        x_ref[:], w_ref[:],
+        tin_ref[:] if tin_ref is not None else None,
+        tout_ref[:] if tout_ref is not None else None,
+        balanced,
+    )
 
 
 def _extract_subdigits(x4) -> List:
@@ -117,6 +139,19 @@ def _k_tin_tout(x_ref, w_ref, tin_ref, tout_ref, o_ref):
     _leaf_body(x_ref, w_ref, o_ref, tin_ref=tin_ref, tout_ref=tout_ref)
 
 
+def _k_plain_bal(x_ref, w_ref, o_ref):
+    _leaf_body(x_ref, w_ref, o_ref, balanced=True)
+
+
+def _k_tout_bal(x_ref, w_ref, tout_ref, o_ref):
+    _leaf_body(x_ref, w_ref, o_ref, tout_ref=tout_ref, balanced=True)
+
+
+def _k_tin_tout_bal(x_ref, w_ref, tin_ref, tout_ref, o_ref):
+    _leaf_body(x_ref, w_ref, o_ref, tin_ref=tin_ref, tout_ref=tout_ref,
+               balanced=True)
+
+
 def _pick_tile(rows: int) -> int:
     tile = 1
     while tile * 2 <= min(rows, 512) and rows % (tile * 2) == 0:
@@ -138,9 +173,19 @@ def _table_operand(tab: np.ndarray, tile: int, mem):
     return spec, jnp.asarray(tiled)
 
 
+# Production representation: balanced base-256 digits (64 int8 matmuls per
+# leaf) vs 7-bit unsigned (100) — see ntt_mxu.PACKED_BALANCED.
+PACKED_BALANCED = True
+
+
 def _leaf_apply(leaf: DftMatmulPlan, x2, tin: Optional[np.ndarray],
-                tout: Optional[np.ndarray]) -> jnp.ndarray:
-    assert leaf.w_subs_packed is not None
+                tout: Optional[np.ndarray],
+                balanced: Optional[bool] = None) -> jnp.ndarray:
+    if balanced is None:
+        balanced = PACKED_BALANCED
+    w_np = leaf.w_subs_bal if balanced else leaf.w_subs_packed
+    assert w_np is not None
+    t_dim = w_np.shape[0]
     _two, m_rows, b = x2.shape
     reps = _LANE // b
     if reps > 1:
@@ -148,21 +193,34 @@ def _leaf_apply(leaf: DftMatmulPlan, x2, tin: Optional[np.ndarray],
         x2 = x2.reshape(2, m_rows // reps, _LANE)
     rows = x2.shape[1]
     tile = _pick_tile(rows)
-    interpret = jax.default_backend() != "tpu"
-    mem = pl.ANY if interpret else pltpu.VMEM
+    w = jnp.asarray(w_np)
+    if jax.default_backend() != "tpu":
+        # CPU: plain-XLA kernel math (see ntt_mxu._leaf_packed rationale)
+        def full(tab):
+            if tab is None:
+                return None
+            period = tab.shape[1]
+            assert rows % period == 0, (rows, period)
+            return jnp.asarray(np.tile(tab, (1, rows // period, 1)))
+
+        out = _leaf_math(x2, w, full(tin), full(tout), balanced)
+        if reps > 1:
+            out = out.reshape(2, m_rows, b)
+        return out
+    mem = pltpu.VMEM
     in_specs = [
         pl.BlockSpec((2, tile, _LANE), lambda i: (0, i, 0), memory_space=mem),
-        pl.BlockSpec((_T, _LANE, _LANE), lambda i: (0, 0, 0),
+        pl.BlockSpec((t_dim, _LANE, _LANE), lambda i: (0, 0, 0),
                      memory_space=mem),
     ]
-    operands = [x2, jnp.asarray(leaf.w_subs_packed)]
+    operands = [x2, w]
     if tin is not None:
-        kernel = _k_tin_tout
+        kernel = _k_tin_tout_bal if balanced else _k_tin_tout
         assert tout is not None, "tin currently always pairs with tout"
     elif tout is not None:
-        kernel = _k_tout
+        kernel = _k_tout_bal if balanced else _k_tout
     else:
-        kernel = _k_plain
+        kernel = _k_plain_bal if balanced else _k_plain
     for tab in (tin, tout):
         if tab is not None:
             spec, op = _table_operand(tab, tile, mem)
@@ -175,7 +233,6 @@ def _leaf_apply(leaf: DftMatmulPlan, x2, tin: Optional[np.ndarray],
         out_specs=pl.BlockSpec((2, tile, _LANE), lambda i: (0, i, 0),
                                memory_space=mem),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
-        interpret=interpret,
     )(*operands)
     if reps > 1:
         out = out.reshape(2, m_rows, b)
@@ -266,20 +323,23 @@ class RingMxuPlan:
         )
 
 
-def _fourstep(plan: RingMxuPlan, x2, leaf_r, leaf_c, tin_r, tout_r, tout_c):
+def _fourstep(plan: RingMxuPlan, x2, leaf_r, leaf_c, tin_r, tout_r, tout_c,
+              balanced: Optional[bool] = None):
     r, c = plan.r, plan.c
     m_rows = x2.shape[1]
     X = x2.reshape(2, m_rows, r, c)
     Xt = jnp.swapaxes(X, 2, 3).reshape(2, m_rows * c, r)
-    A_t = _leaf_apply(leaf_r, Xt, tin_r, tout_r)
+    A_t = _leaf_apply(leaf_r, Xt, tin_r, tout_r, balanced)
     A = jnp.swapaxes(A_t.reshape(2, m_rows, c, r), 2, 3)
-    F = _leaf_apply(leaf_c, A.reshape(2, m_rows * r, c), None, tout_c)
+    F = _leaf_apply(leaf_c, A.reshape(2, m_rows * r, c), None, tout_c,
+                    balanced)
     F = F.reshape(2, m_rows, r, c)
     return jnp.swapaxes(F, 2, 3).reshape(2, m_rows, plan.n)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def ring_chain_mxu(plan: RingMxuPlan, s2_stack, msg_e2):
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def ring_chain_mxu(plan: RingMxuPlan, s2_stack, msg_e2,
+                   balanced: Optional[bool] = None):
     """The deterministic ring math given packed randomness.
 
     s2_stack: (k, 2, B, n) packed twisted-domain inputs s_j (canonical Z_p);
@@ -290,14 +350,14 @@ def ring_chain_mxu(plan: RingMxuPlan, s2_stack, msg_e2):
     for j in range(plan.k):
         t2 = _fourstep(
             plan, s2_stack[j], plan.leaf_fr, plan.leaf_fc,
-            plan.twist, plan.tw_f, plan.a_hat_tabs[j],
+            plan.twist, plan.tw_f, plan.a_hat_tabs[j], balanced,
         )
         t4 = unpack_planes_jnp(t2)
         acc4 = t4 if acc4 is None else modarith.add_mod(_CTX, acc4, t4)
     acc2 = pack_planes_jnp(acc4)
     c2 = _fourstep(
         plan, acc2, plan.leaf_ir, plan.leaf_ic,
-        None, plan.tw_i, plan.untwist_n,
+        None, plan.tw_i, plan.untwist_n, balanced,
     )
     c4 = modarith.add_mod(
         _CTX, unpack_planes_jnp(c2), unpack_planes_jnp(msg_e2)
@@ -305,7 +365,8 @@ def ring_chain_mxu(plan: RingMxuPlan, s2_stack, msg_e2):
     return pack_planes_jnp(c4)
 
 
-def commit_batch_mxu(plan: RingMxuPlan, dctx, messages_planes, key):
+def commit_batch_mxu(plan: RingMxuPlan, dctx, messages_planes, key,
+                     balanced: Optional[bool] = None):
     """Drop-in MXU replacement for ``commit.lwe_jax.commit_batch``:
     identical randomness (same keys/sampler), identical outputs.
 
@@ -328,5 +389,5 @@ def commit_batch_mxu(plan: RingMxuPlan, dctx, messages_planes, key):
         keys[-1], (b, n), dctx.cdf_hi, dctx.cdf_lo, ctx
     )
     msg_e = modarith.add_mod(ctx, e_planes, messages_planes)
-    c2 = ring_chain_mxu(plan, jnp.stack(s2), pack_planes_jnp(msg_e))
+    c2 = ring_chain_mxu(plan, jnp.stack(s2), pack_planes_jnp(msg_e), balanced)
     return unpack_planes_jnp(c2), jnp.stack(s_signed), e_sgn

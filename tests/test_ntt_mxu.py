@@ -119,6 +119,52 @@ def test_mxu_packed_roundtrip_inverse():
         assert [int(v) for v in from_limbs(b4[:, r])] == data
 
 
+def test_balanced_extraction_exact():
+    """Device balanced base-256 digits encode X or X - p exactly (int value
+    == X mod p), including every boundary of the representability split."""
+    rng = random.Random(5)
+    vals = [rng.randrange(P) for _ in range(121)] + [
+        0, 1, P - 1, P - 2, ntt_mxu._MAXB, ntt_mxu._MAXB + 1,
+        ntt_mxu._MAXB - 1, 1 << 63, (1 << 63) - 1, (1 << 32), (1 << 32) - 1,
+        P - (1 << 32),
+    ]
+    x4 = jnp.asarray(to_limbs(np.array([vals], dtype=object), 4))
+    x2 = ntt_mxu.pack_planes_jnp(x4)
+    subs = ntt_mxu._extract_balanced_packed(x2)
+    for idx, v in enumerate(vals):
+        got = sum(int(subs[t][0, idx]) << (8 * t) for t in range(ntt_mxu._TB))
+        assert got % P == v, (idx, v, got)
+        # the representative itself must be the canonical-range one
+        assert got == (v if v <= ntt_mxu._MAXB else v - P), (idx, v)
+
+
+def test_balanced_w_digits_exact():
+    rng = random.Random(6)
+    vals = np.array(
+        [[rng.randrange(P) for _ in range(9)] + [0, 1, P - 1, ntt_mxu._MAXB,
+                                                 ntt_mxu._MAXB + 1]],
+        dtype=object,
+    )
+    subs = ntt_mxu._subdigit_planes_balanced_host(vals)
+    for idx in range(vals.shape[1]):
+        got = sum(int(subs[t, 0, idx]) << (8 * t) for t in range(ntt_mxu._TB))
+        assert got % P == int(vals[0, idx])
+
+
+@pytest.mark.parametrize("m", [256, 1024])
+def test_mxu_packed_balanced_matches_7bit(m):
+    """The balanced (8x8 matmul) and 7-bit (10x10) packed pipelines must be
+    bit-identical; production routes to balanced (PACKED_BALANCED)."""
+    plan = ntt_mxu.mxu_ntt_plan(m)
+    rng = random.Random(42 + m)
+    data = [rng.randrange(P) for _ in range(m - 2)] + [0, P - 1]
+    x4 = jnp.asarray(to_limbs(np.array([data] * 2, dtype=object), 4))
+    x2 = ntt_mxu.pack_planes_jnp(x4)
+    got_bal = np.asarray(ntt_mxu.ntt_forward_mxu_packed(plan, x2, True))
+    got_7 = np.asarray(ntt_mxu.ntt_forward_mxu_packed(plan, x2, False))
+    assert (got_bal == got_7).all()
+
+
 def test_pack_unpack_roundtrip():
     rng = random.Random(3)
     vals = [rng.randrange(P) for _ in range(256)] + [0, 1, P - 1]

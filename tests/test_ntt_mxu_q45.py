@@ -106,3 +106,58 @@ def test_quotient_mxu_detects_invalid():
     *_r, valid = ntt_mxu_q45.quotient_batch_mxu(qp, a, b, c)
     valid = np.asarray(valid)
     assert valid[0] and not valid[1]
+
+
+def test_balanced_extraction_exact_q45():
+    """Balanced base-256 digits of packed q45 words encode values exactly."""
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randrange(Q) for _ in range(125)] + [0, 1, Q - 1]
+    x3 = jnp.asarray(to_limbs(np.array([vals], dtype=object), 3))
+    x2 = ntt_mxu_q45.pack_q45_jnp(x3)
+    subs = ntt_mxu_q45._extract_balanced_q45(x2)
+    for idx, v in enumerate(vals):
+        got = sum(
+            int(subs[t][0, idx]) << (8 * t) for t in range(ntt_mxu_q45._TB)
+        )
+        assert got == v, (idx, v, got)
+
+
+def test_balanced_w_digits_exact_q45():
+    import random
+
+    rng = random.Random(8)
+    vals = np.array(
+        [[rng.randrange(Q) for _ in range(10)] + [0, 1, Q - 1]], dtype=object
+    )
+    subs = ntt_mxu_q45._subdigit_planes_balanced_host(vals)
+    for idx in range(vals.shape[1]):
+        got = sum(
+            int(subs[t, 0, idx]) << (8 * t) for t in range(ntt_mxu_q45._TB)
+        )
+        assert got == int(vals[0, idx])
+
+
+def test_fourstep_balanced_matches_7bit():
+    """Balanced (6x6 matmul) and 7-bit (7x7) q45 leaves are bit-identical,
+    including the fused twist/twiddle/untwist tables (quotient plan)."""
+    import random
+
+    m = 64
+    psi = field.mod_pow(3, (Q - 1) // (2 * m), Q)
+    qp = ntt_mxu_q45.q45_quotient_plan(m, psi)
+    rng = random.Random(9)
+    ctx3 = modulus_ctx(Q)
+
+    def planes(seed):
+        r = random.Random(seed)
+        data = [[r.randrange(Q) for _ in range(m)] for _ in range(2)]
+        return jnp.asarray(to_limbs(np.array(data, dtype=object), 3))
+
+    a_e, b_e = planes(1), planes(2)
+    c_e = jax.jit(lambda a, b: modarith.mul_mod(ctx3, a, b))(a_e, b_e)
+    out_bal = ntt_mxu_q45.quotient_batch_mxu(qp, a_e, b_e, c_e, True)
+    out_7 = ntt_mxu_q45.quotient_batch_mxu(qp, a_e, b_e, c_e, False)
+    for g, w in zip(out_bal, out_7):
+        assert (np.asarray(g) == np.asarray(w)).all()

@@ -55,3 +55,19 @@ def test_commit_mxu_deterministic(setup_ctx):
     c1, _, _ = commit_batch_mxu(plan, dctx, msg_planes, key)
     c2, _, _ = commit_batch_mxu(plan, dctx, msg_planes, key)
     assert (np.asarray(c1) == np.asarray(c2)).all()
+
+
+def test_commit_mxu_balanced_matches_7bit(setup_ctx):
+    """Balanced base-256 and 7-bit leaf pipelines give identical
+    commitments (production routes to balanced)."""
+    host, dctx, plan = setup_ctx
+    rng = np.random.default_rng(5)
+    batch = 2
+    msgs = rng.integers(0, Q, size=(batch, N), dtype=np.uint64)
+    msg_planes = jnp.asarray(to_limbs(msgs.astype(object), 4))
+    key = jax.random.PRNGKey(17)
+    c_bal, s_bal, e_bal = commit_batch_mxu(plan, dctx, msg_planes, key, True)
+    c_7, s_7, e_7 = commit_batch_mxu(plan, dctx, msg_planes, key, False)
+    assert (np.asarray(c_bal) == np.asarray(c_7)).all()
+    assert (np.asarray(s_bal) == np.asarray(s_7)).all()
+    assert (np.asarray(e_bal) == np.asarray(e_7)).all()
