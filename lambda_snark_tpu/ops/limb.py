@@ -92,6 +92,19 @@ def to_limbs(x, d: int) -> np.ndarray:
     return out
 
 
+def u64_to_limbs(arr: np.ndarray, d: int) -> np.ndarray:
+    """Host: uint64 array -> (d, ...) uint32 digit planes (vectorized)."""
+    arr = np.asarray(arr, dtype=np.uint64)
+    return np.stack(
+        [
+            ((arr >> np.uint64(BASE_BITS * i)) & np.uint64(MASK)).astype(
+                np.uint32
+            )
+            for i in range(d)
+        ]
+    )
+
+
 def from_limbs(planes) -> np.ndarray:
     """Host: (d, ...) uint32 digit planes -> object array of Python ints."""
     planes = np.asarray(planes)

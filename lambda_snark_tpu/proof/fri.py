@@ -243,6 +243,44 @@ def lde_batch_device(polys: Sequence[Sequence[int]], n: int, offset: int, q: int
     return list(limb.from_limbs_u64(np.asarray(out)))
 
 
+def lde_batch_device_planes(
+    polys: Sequence[Sequence[int]], n: int, offset: int, q: int,
+    pull_values: bool = True,
+):
+    """Like ``lde_batch_device`` but also returns the codewords as DEVICE
+    digit planes (4, B, n) so downstream device-resident consumers
+    (``proof.fri_device``) never re-upload them. Returns
+    ``(planes_dev, values_u64)``; with ``pull_values=False`` the host copy
+    is skipped entirely (device DEEP path) and ``values_u64`` is None."""
+    if q != glnp.GOLDILOCKS:
+        raise DomainError("device LDE is implemented for the Goldilocks modulus")
+    import jax.numpy as jnp
+
+    from ..ops import limb
+    from ..ops.ntt_large import four_step_plan, ntt_forward_large
+
+    tw_pows = _gl_powers(offset, n)
+    batch = np.zeros((len(polys), n), dtype=np.uint64)
+    for i, coeffs in enumerate(polys):
+        if len(coeffs) > n:
+            raise DomainError(
+                f"polynomial length {len(coeffs)} exceeds codeword size {n}"
+            )
+        if isinstance(coeffs, np.ndarray) and coeffs.dtype == np.uint64:
+            batch[i, : len(coeffs)] = coeffs
+        else:
+            batch[i, : len(coeffs)] = np.array(
+                [c % q for c in coeffs], dtype=np.uint64
+            )
+    twisted = glnp.gl_mul(batch, tw_pows[None, :])
+    planes = limb.u64_to_limbs(twisted, limb.digits_for(q))
+    fsp = four_step_plan(n, q, root_of_order(q, n))
+    out = ntt_forward_large(fsp, jnp.asarray(planes))
+    if not pull_values:
+        return out, None
+    return out, limb.from_limbs_u64(np.asarray(out))
+
+
 #: below this many leaves a host hashlib loop beats a device dispatch
 _DEVICE_HASH_MIN_HALF = 4096
 

@@ -1,0 +1,589 @@
+"""Device-resident FRI proving (Goldilocks): the relay-friendly data path.
+
+``fri.fri_prove`` + ``merkle.build_forest_u64_pairs`` move every codeword and
+every Merkle level between host and device (~20 MB per m=2^13 proof through
+the sandbox relay — the measured 2.5 s warm succinct prove is transfer-bound,
+not compute-bound). This module keeps the proof data RESIDENT on the
+accelerator:
+
+- codewords live as (4, S, n) uint32 digit planes (S = statement batch),
+- each fold layer is one jitted dispatch (``modarith`` digit arithmetic with
+  a cached per-layer 1/x table),
+- each Merkle forest is one jitted Keccak dispatch whose levels STAY on
+  device; the host pulls only the <=128-row top (4 KB) to finish the root,
+- query openings (values + authentication paths) are assembled by ONE jitted
+  gather over all stored layers and pulled as a single flat array.
+
+Per fold round the host sees 32 bytes of root; everything else crosses the
+relay once, at the end. Proof bytes are bit-identical to ``fri.fri_prove``
+(pinned in tests/test_fri_device.py).
+
+Reference anchor: this accelerates the succinct-opening layer that replaces
+the reference's stubbed openings (``lib.rs:788-791``); transcript and wire
+format are unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core import field
+from ..core.errors import DomainError
+from ..core.params import NTT_MODULUS
+from ..ops import goldilocks_np as glnp
+from ..ops import keccak_jax as kj
+from ..ops import modarith
+from ..ops.limb import from_limbs_u64, int_to_digits, modulus_ctx, u64_to_limbs
+from ..r1cs.poly import ntt_inverse
+from .fri import (
+    FriParams,
+    FriProof,
+    FriQuery,
+    FriTranscript,
+    LayerOpening,
+    _effective_final_len,
+    _gl_powers,
+)
+from .merkle import _finish_levels
+
+P = NTT_MODULUS
+_CTX = modulus_ctx(P)
+_D = 4
+_TOP_ROWS = 128
+_INV2_DIGITS = tuple(int_to_digits(field.mod_inverse(2, P), _D))
+
+
+def planes_from_u64(arr: np.ndarray):
+    """Host uint64 array -> device (4, ...) digit planes."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(u64_to_limbs(arr, _D))
+
+
+# --- device Merkle forest -------------------------------------------------------
+
+
+@dataclasses.dataclass(eq=False)
+class DevForest:
+    """T Merkle trees with the heavy levels resident on device.
+
+    levels_dev: tuple of jax arrays [T, rows, 8] (uint32 digest words,
+    word-minor), leaf level upward, stopping at <= _TOP_ROWS rows.
+    host_tops[t]: uint8 [k, 32] levels from the last device level to the
+    root (host-finished; its first entry duplicates levels_dev[-1][t]).
+    """
+
+    levels_dev: tuple
+    host_tops: List[List[np.ndarray]]
+    roots: List[bytes]
+    num_leaves: int
+
+    @property
+    def n_trees(self) -> int:
+        return len(self.roots)
+
+
+_TREE_CACHE: dict = {}
+
+
+def _tree_from_planes_fn(t: int, n: int):
+    """Jitted: (4, T, n) planes -> digest levels for T paired-leaf trees."""
+    key = (t, n)
+    if key in _TREE_CACHE:
+        return _TREE_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    half = n // 2
+
+    def build(planes4):
+        lo32 = planes4[0] | (planes4[1] << 16)
+        hi32 = planes4[2] | (planes4[3] << 16)
+        a0, a1 = lo32[:, :half], hi32[:, :half]
+        b0, b1 = lo32[:, half:], hi32[:, half:]
+        levels = [kj.hash_leaves(a0, a1, b0, b1)]  # lane-major [8, T, half]
+        cur = levels[0]
+        size = half
+        while size > _TOP_ROWS and size > 1:
+            cur = kj.hash_nodes(cur[..., 0::2], cur[..., 1::2])
+            levels.append(cur)
+            size //= 2
+        return tuple(jnp.moveaxis(level, 0, -1) for level in levels)
+
+    fn = jax.jit(build)
+    _TREE_CACHE[key] = fn
+    return fn
+
+
+def commit_planes_dev(planes4) -> DevForest:
+    """(4, T, n) device planes -> DevForest of T trees (one device dispatch
+    plus one <=4 KB/tree top pull). Leaf i pairs values (i, i + n/2), the
+    exact layout of ``fri.commit_codeword``."""
+    _four, t, n = planes4.shape
+    if n < 4 or n & (n - 1):
+        raise DomainError(f"codeword size must be a power of two >= 4, got {n}")
+    levels = _tree_from_planes_fn(t, n)(planes4)
+    top = np.asarray(levels[-1])  # [T, rows<=128, 8]
+    host_tops: List[List[np.ndarray]] = []
+    roots: List[bytes] = []
+    for ti in range(t):
+        lv = _finish_levels([kj.digest_words_to_bytes(top[ti])])
+        host_tops.append(lv)
+        roots.append(lv[-1][0].tobytes())
+    return DevForest(
+        levels_dev=tuple(levels), host_tops=host_tops, roots=roots,
+        num_leaves=n // 2,
+    )
+
+
+# --- fold -----------------------------------------------------------------------
+
+
+_FOLD_CACHE: dict = {}
+
+
+def _fold_fn(shape: Tuple[int, ...]):
+    """Jitted fold: (4, ..., n) planes x (4, half) table x (4, ..., 1)
+    challenge -> (4, ..., half). v' = ((lo+hi) + c*(lo-hi)/x) / 2."""
+    if shape in _FOLD_CACHE:
+        return _FOLD_CACHE[shape]
+    import jax
+
+    n = shape[-1]
+    half = n // 2
+
+    def fold(planes4, inv4, c4):
+        lo = planes4[..., :half]
+        hi = planes4[..., half:]
+        bcast = (slice(None),) + (None,) * (planes4.ndim - 2) + (slice(None),)
+        t = modarith.mul_mod(
+            _CTX,
+            modarith.mul_mod(_CTX, c4, modarith.sub_mod(_CTX, lo, hi)),
+            inv4[bcast],
+        )
+        s = modarith.add_mod(_CTX, modarith.add_mod(_CTX, lo, hi), t)
+        return modarith.cpu_fusion_barrier(
+            modarith.mul_mod_const(_CTX, s, _INV2_DIGITS)
+        )
+
+    fn = jax.jit(fold)
+    _FOLD_CACHE[shape] = fn
+    return fn
+
+
+_TABLE_CACHE: dict = {}
+
+
+def _layer_inv_tables(n0: int, offset: int, omega: int) -> List:
+    """Per-fold-layer 1/x tables (device digit planes), cached per config.
+
+    Layer k folds a length n0 >> k codeword on the coset
+    offset^(2^k) * <omega^(2^k)>; its table is inv(off_k) * inv(om_k)^i."""
+    key = (n0, offset, omega)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    import jax.numpy as jnp
+
+    tabs = []
+    off, om, n = offset, omega, n0
+    while n >= 4:
+        half = n // 2
+        inv_xs = glnp.gl_mul(
+            np.uint64(field.mod_inverse(off, P)),
+            _gl_powers(field.mod_inverse(om, P), half),
+        )
+        tabs.append(jnp.asarray(u64_to_limbs(inv_xs, _D)))
+        off = off * off % P
+        om = om * om % P
+        n = half
+    _TABLE_CACHE[key] = tabs
+    return tabs
+
+
+# --- device DEEP quotient ---------------------------------------------------------
+
+
+_XS_CACHE: dict = {}
+
+
+def _coset_planes(n0: int, offset: int, omega: int):
+    """Device (4, n0) digit planes of the coset points offset * omega^i."""
+    key = (n0, offset, omega)
+    if key not in _XS_CACHE:
+        import jax.numpy as jnp
+
+        xs = glnp.gl_mul(np.uint64(offset), _gl_powers(omega, n0))
+        _XS_CACHE[key] = jnp.asarray(u64_to_limbs(xs, _D))
+    return _XS_CACHE[key]
+
+
+def _inv_planes(planes):
+    """Fermat inverse x^(p-2) on digit planes (exact square-and-multiply;
+    zero maps to zero like ``field.mod_inverse`` never being called on it —
+    DEEP denominators x - alpha are nonzero w.o.p., matching the host path
+    which would raise on a zero denominator)."""
+    e = P - 2
+    bits = bin(e)[2:]
+    planes = modarith.cpu_fusion_barrier(planes)
+    acc = planes
+    for b in bits[1:]:
+        # barrier EVERY step on CPU: chained mul_mods re-expand ~4x per
+        # level under XLA:CPU fusion duplication (no-op on TPU)
+        acc = modarith.cpu_fusion_barrier(modarith.mul_mod(_CTX, acc, acc))
+        if b == "1":
+            acc = modarith.cpu_fusion_barrier(
+                modarith.mul_mod(_CTX, acc, planes)
+            )
+    return acc
+
+
+_DEEP_CACHE: dict = {}
+
+
+def _deep_fn(shape: Tuple[int, ...]):
+    """Jitted batched DEEP quotient combine.
+
+    (4, S, K, n) codeword planes, (4, n) coset planes, per-statement
+    challenge planes -> (4, S, n) combined quotient:
+        g = sum_k lam^(2k) (cw_k - ev_a_k)/(x - alpha)
+                + lam^(2k+1) (cw_k - ev_b_k)/(x - beta)
+    with the lam powers precomputed host-side as (4, S, K, 1) planes.
+    """
+    if shape in _DEEP_CACHE:
+        return _DEEP_CACHE[shape]
+    import jax
+
+    def deep(cw, xs, alpha4, beta4, ev_a, ev_b, lam_a, lam_b):
+        # cw (4,S,K,n); xs (4,n); alpha4/beta4 (4,S,1); ev_* (4,S,K,1);
+        # lam_* (4,S,K,1)
+        xsb = xs[:, None, :]
+        inv_a = modarith.cpu_fusion_barrier(
+            _inv_planes(modarith.sub_mod(_CTX, xsb, alpha4))
+        )  # (4,S,n)
+        inv_b = modarith.cpu_fusion_barrier(
+            _inv_planes(modarith.sub_mod(_CTX, xsb, beta4))
+        )
+        term_a = modarith.mul_mod(
+            _CTX,
+            modarith.mul_mod(
+                _CTX, lam_a, modarith.sub_mod(_CTX, cw, ev_a)
+            ),
+            inv_a[:, :, None, :],
+        )
+        term_b = modarith.mul_mod(
+            _CTX,
+            modarith.mul_mod(
+                _CTX, lam_b, modarith.sub_mod(_CTX, cw, ev_b)
+            ),
+            inv_b[:, :, None, :],
+        )
+        tot = modarith.add_mod(_CTX, term_a, term_b)  # (4,S,K,n)
+        g = tot[:, :, 0, :]
+        for k in range(1, tot.shape[2]):
+            g = modarith.add_mod(_CTX, g, tot[:, :, k, :])
+        return modarith.cpu_fusion_barrier(g)
+
+    fn = jax.jit(deep)
+    _DEEP_CACHE[shape] = fn
+    return fn
+
+
+def deep_combine_device(
+    input_planes,
+    alphas: np.ndarray,
+    betas: np.ndarray,
+    lams: np.ndarray,
+    evals: np.ndarray,
+    offset: int,
+    omega: int,
+):
+    """Batched DEEP quotient on device (no codeword pull, no g upload).
+
+    input_planes: (4, S, K, n0) device planes. alphas/betas/lams: (S,)
+    uint64. evals: (S, 2K) uint64 claimed evaluations (alpha block then
+    beta block), matching ``succinct.prove_r1cs_succinct``'s ordering.
+    Returns (4, S, n0) device planes of g, bit-identical to the host
+    vectorized DEEP combine.
+    """
+    _four, s, k_in, n0 = input_planes.shape
+    xs = _coset_planes(n0, offset, omega)
+    # lam powers: lam_a_k = lam^(3k?) — mirror the host loop exactly:
+    # lam_pow_0 = 1; per k: lam2 = lam_pow * lam; next lam_pow = lam2 * lam.
+    lam_a = np.empty((s, k_in), dtype=np.uint64)
+    lam_b = np.empty((s, k_in), dtype=np.uint64)
+    for si in range(s):
+        lam = int(lams[si])
+        lam_pow = 1
+        for k in range(k_in):
+            lam2 = lam_pow * lam % P
+            lam_a[si, k] = lam_pow
+            lam_b[si, k] = lam2
+            lam_pow = lam2 * lam % P
+    ev_a = np.ascontiguousarray(evals[:, :k_in])
+    ev_b = np.ascontiguousarray(evals[:, k_in:])
+
+    def plan4(arr, trail):
+        return planes_from_u64(np.asarray(arr, dtype=np.uint64)).reshape(
+            (4,) + arr.shape + (1,) * trail
+        )
+
+    return _deep_fn(tuple(input_planes.shape))(
+        input_planes,
+        xs,
+        plan4(alphas, 1),
+        plan4(betas, 1),
+        plan4(ev_a, 1),
+        plan4(ev_b, 1),
+        plan4(lam_a, 1),
+        plan4(lam_b, 1),
+    )
+
+
+# --- the batched gather ----------------------------------------------------------
+
+
+def _gather_flat(specs: tuple, arrays: list, idxs: list):
+    """One jitted dispatch gathering every query-opening element.
+
+    specs[i] in {"planes", "planesK", "level"}:
+      planes : arr (4, S, n),    idx (S, Q)     -> (4, S, Q)
+      planesK: arr (4, S, K, n), idx (S, Q)     -> (4, S, K, Q)
+      level  : arr (T, rows, 8), idx (T, Q)     -> (T, Q, 8)
+    Returns one flat uint32 array (a single relay pull syncs everything).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def g(arrays, idxs):
+        outs = []
+        for kind, arr, idx in zip(specs, arrays, idxs):
+            if kind == "planes":
+                take = jnp.take_along_axis(arr, idx[None, :, :], axis=2)
+            elif kind == "planesK":
+                take = jnp.take_along_axis(
+                    arr, idx[None, :, None, :], axis=3
+                )
+            else:  # level
+                take = jnp.take_along_axis(arr, idx[:, :, None], axis=1)
+            outs.append(take.reshape(-1))
+        return jnp.concatenate(outs)
+
+    return np.asarray(g(arrays, idxs))
+
+
+def _split_flat(specs, shapes, flat: np.ndarray) -> List[np.ndarray]:
+    out = []
+    off = 0
+    for shape in shapes:
+        size = int(np.prod(shape))
+        out.append(flat[off:off + size].reshape(shape))
+        off += size
+    assert off == flat.size
+    return out
+
+
+def _digest_bytes(words8: np.ndarray) -> bytes:
+    return kj.digest_words_to_bytes(words8.reshape(1, 8))[0].tobytes()
+
+
+def _u64_of_plane_cols(cols: np.ndarray) -> int:
+    """(4,) uint32 digit column -> int value."""
+    return int(
+        int(cols[0]) | (int(cols[1]) << 16) | (int(cols[2]) << 32)
+        | (int(cols[3]) << 48)
+    )
+
+
+# --- the device-resident prover ---------------------------------------------------
+
+
+def fri_prove_device(
+    g_planes,
+    input_planes,
+    input_forest: DevForest,
+    offset: int,
+    omega: int,
+    q: int,
+    params: FriParams,
+    trs: Sequence[FriTranscript],
+) -> List[FriProof]:
+    """Batched device-resident ``fri.fri_prove``; returns one FriProof per
+    statement, byte-identical to the host prover.
+
+    g_planes: (4, S, n0) device planes of the combined DEEP quotients.
+    input_planes: (4, S, K, n0) device planes of the committed input
+    codewords (K per statement). input_forest: DevForest of S*K trees in
+    s-major order (tree s*K + k), as built by ``commit_planes_dev`` on
+    input_planes reshaped to (4, S*K, n0). trs: one transcript per
+    statement, already seeded with roots/evals by the caller.
+    """
+    if q != P:
+        raise DomainError("device FRI is implemented for the Goldilocks modulus")
+    params.validate()
+    _four, s, k_in, n0 = input_planes.shape
+    assert g_planes.shape == (_D, s, n0)
+    assert input_forest.n_trees == s * k_in
+    d_bound = n0 >> params.log_blowup
+    final_len = _effective_final_len(d_bound, params.final_len)
+    tabs = _layer_inv_tables(n0, offset, omega)
+
+    committed: List[Tuple[object, DevForest]] = []  # (planes, forest)
+    cur = g_planes
+    off, om, d, n = offset, omega, d_bound, n0
+    layer = 0
+    while True:
+        cs = np.array(
+            [tr.challenge_field(q, b"fri-fold") for tr in trs], dtype=np.uint64
+        )
+        c4 = planes_from_u64(cs)[:, :, None]  # (4, S, 1)
+        cur = _fold_fn((4, s, n))(cur, tabs[layer], c4)
+        layer += 1
+        off = off * off % q
+        om = om * om % q
+        d >>= 1
+        n //= 2
+        if d <= final_len:
+            break
+        forest = commit_planes_dev(cur)
+        committed.append((cur, forest))
+        for si in range(s):
+            trs[si].absorb(b"fri-layer-root", forest.roots[si])
+
+    # final polynomial per statement (tiny pull)
+    cur_np = from_limbs_u64(np.asarray(cur))  # (S, n)
+    finals: List[List[int]] = []
+    inv_off = field.mod_inverse(off, q)
+    for si in range(s):
+        coeffs = ntt_inverse([int(v) for v in cur_np[si]], q, om)
+        acc = 1
+        fin: List[int] = []
+        for cf in coeffs:
+            fin.append(cf * acc % q)
+            acc = acc * inv_off % q
+        if any(fin[final_len:]):
+            raise DomainError("FRI final polynomial exceeds its degree bound")
+        fin = fin[:final_len]
+        trs[si].absorb_words(b"fri-final", fin)
+        finals.append(fin)
+
+    all_indices = [
+        trs[si].challenge_indices(n0 // 2, params.num_queries, b"fri-query")
+        for si in range(s)
+    ]
+    nq = params.num_queries
+    idx_s = np.array(all_indices, dtype=np.int32)  # (S, Q)
+
+    # --- build the single gather ---------------------------------------------
+    specs: List[str] = []
+    arrays: List = []
+    idxs: List[np.ndarray] = []
+    shapes: List[tuple] = []
+
+    def add(kind: str, arr, idx: np.ndarray, shape: tuple):
+        specs.append(kind)
+        arrays.append(arr)
+        idxs.append(idx)
+        shapes.append(shape)
+
+    import jax.numpy as jnp
+
+    # input values at i0 and i0 + half (two planesK gathers)
+    half0 = n0 // 2
+    add("planesK", input_planes, idx_s, (4, s, k_in, nq))
+    add("planesK", input_planes, idx_s + half0, (4, s, k_in, nq))
+    # input forest device siblings: levels 0 .. D_dev-2, sibling (i0>>l)^1
+    d_dev_in = len(input_forest.levels_dev)
+    idx_rep = np.repeat(idx_s, k_in, axis=0)  # (S*K, Q), s-major
+    for lvl in range(d_dev_in - 1):
+        sib = ((idx_rep >> lvl) ^ 1).astype(np.int32)
+        add("level", input_forest.levels_dev[lvl], sib,
+            (s * k_in, nq, 8))
+    # committed layers
+    pos = idx_s.copy()  # folded position inside the next layer
+    layer_meta = []
+    for values, forest in committed:
+        half = forest.num_leaves
+        p = (pos % half).astype(np.int32)
+        add("planes", values, p, (4, s, nq))
+        add("planes", values, p + half, (4, s, nq))
+        d_dev = len(forest.levels_dev)
+        for lvl in range(d_dev - 1):
+            sib = ((p >> lvl) ^ 1).astype(np.int32)
+            add("level", forest.levels_dev[lvl], sib, (s, nq, 8))
+        layer_meta.append((p, d_dev, forest))
+        pos = p
+
+    flat = _gather_flat(tuple(specs), arrays, [jnp.asarray(i) for i in idxs])
+    parts = _split_flat(specs, shapes, flat)
+
+    # --- unpack ----------------------------------------------------------------
+    part_iter = iter(parts)
+    in_lo = next(part_iter)  # (4, S, K, Q)
+    in_hi = next(part_iter)
+    in_sibs = [next(part_iter) for _ in range(max(d_dev_in - 1, 0))]
+    layer_parts = []
+    for p, d_dev, forest in layer_meta:
+        v_lo = next(part_iter)
+        v_hi = next(part_iter)
+        sibs = [next(part_iter) for _ in range(max(d_dev - 1, 0))]
+        layer_parts.append((p, d_dev, forest, v_lo, v_hi, sibs))
+
+    def host_path(host_tops, first_level: int, index: int,
+                  total_levels: int) -> List[bytes]:
+        """Siblings for levels >= first_level from the host-finished top."""
+        out = []
+        for lvl in range(first_level, total_levels):
+            level_arr = host_tops[lvl - first_level]
+            out.append(level_arr[(index >> lvl) ^ 1].tobytes())
+        return out
+
+    proofs: List[FriProof] = []
+    for si in range(s):
+        queries: List[FriQuery] = []
+        in_levels_total = input_forest.num_leaves.bit_length() - 1
+        for qi in range(nq):
+            i0 = int(idx_s[si, qi])
+            input_openings = []
+            for k in range(k_in):
+                tree_idx = si * k_in + k
+                path = [
+                    _digest_bytes(in_sibs[lvl][tree_idx, qi])
+                    for lvl in range(d_dev_in - 1)
+                ]
+                path += host_path(
+                    input_forest.host_tops[tree_idx], d_dev_in - 1, i0,
+                    in_levels_total,
+                )
+                input_openings.append(
+                    LayerOpening(
+                        _u64_of_plane_cols(in_lo[:, si, k, qi]),
+                        _u64_of_plane_cols(in_hi[:, si, k, qi]),
+                        tuple(path),
+                    )
+                )
+            layer_openings = []
+            for (p, d_dev, forest, v_lo, v_hi, sibs) in layer_parts:
+                pq = int(p[si, qi])
+                lvl_total = forest.num_leaves.bit_length() - 1
+                path = [
+                    _digest_bytes(sibs[lvl][si, qi])
+                    for lvl in range(d_dev - 1)
+                ]
+                path += host_path(
+                    forest.host_tops[si], d_dev - 1, pq, lvl_total
+                )
+                layer_openings.append(
+                    LayerOpening(
+                        _u64_of_plane_cols(v_lo[:, si, qi]),
+                        _u64_of_plane_cols(v_hi[:, si, qi]),
+                        tuple(path),
+                    )
+                )
+            queries.append(FriQuery(tuple(input_openings), tuple(layer_openings)))
+        roots = tuple(forest.roots[si] for _p, _d, forest, *_ in layer_parts)
+        proofs.append(FriProof(roots, tuple(finals[si]), tuple(queries)))
+    return proofs

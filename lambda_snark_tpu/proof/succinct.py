@@ -454,16 +454,36 @@ def prove_r1cs_succinct(
         a_t, b_t, c_t, q_t = a_poly, b_poly, c_poly, q_coeffs
 
     polys = [a_t, b_t, c_t, q_t]
-    if device_lde:
+    # Device-resident path (Goldilocks + device hashing): codewords and
+    # Merkle levels never round-trip the relay; see proof/fri_device.py.
+    from . import fri as fri_mod
+
+    use_device_fri = (
+        device_lde and q == glnp.GOLDILOCKS and fri_mod.DEVICE_HASH
+    )
+    planes_dev = None
+    forest = None
+    if use_device_fri:
+        from . import fri_device
+        from .fri import lde_batch_device_planes
+
+        planes_dev, _ = lde_batch_device_planes(
+            polys, n0, offset, q, pull_values=False
+        )
+        codewords = None  # device DEEP: codewords never visit the host
+        forest = fri_device.commit_planes_dev(planes_dev)
+        roots = list(forest.roots)
+    elif device_lde:
         from .fri import lde_batch_device
 
         codewords = lde_batch_device(polys, n0, offset, q)
     else:
         codewords = [lde(p, n0, offset, omega_n, q) for p in polys]
-    from .fri import commit_codewords
+    if not use_device_fri:
+        from .fri import commit_codewords
 
-    trees = commit_codewords(codewords)
-    roots = [t.root for t in trees]
+        trees = commit_codewords(codewords)
+        roots = [t.root for t in trees]
 
     # The lattice layer commits the *unmasked* quotient (LWE commitments are
     # hiding on their own); the masked Q~ is bound by its Merkle root. This
@@ -488,10 +508,11 @@ def prove_r1cs_succinct(
     )
     lam = tr.challenge_field(q, b"fri-lambda")
 
-    # combined DEEP quotient over the coset (vectorized for Goldilocks)
-    if q == glnp.GOLDILOCKS:
-
-
+    # combined DEEP quotient over the coset (vectorized for Goldilocks;
+    # fully on-device for the device-resident path)
+    if use_device_fri:
+        g = None
+    elif q == glnp.GOLDILOCKS:
         xs_np = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))
         inv_a = _gl_inverse_array(glnp.gl_sub(xs_np, np.uint64(alpha)))
         inv_b = _gl_inverse_array(glnp.gl_sub(xs_np, np.uint64(beta)))
@@ -527,9 +548,25 @@ def prove_r1cs_succinct(
                 ) % q
             lam_pow = lam2 * lam % q
 
-    fri_proof = fri_prove(
-        g, list(zip(codewords, trees)), offset, omega_n, q, params, tr
-    )
+    if use_device_fri:
+        from . import fri_device
+
+        input_planes = planes_dev[:, None, :, :]  # (4, 1, 4, n0)
+        g_planes = fri_device.deep_combine_device(
+            input_planes,
+            np.array([alpha], dtype=np.uint64),
+            np.array([beta], dtype=np.uint64),
+            np.array([lam], dtype=np.uint64),
+            np.array([evals], dtype=np.uint64),
+            offset, omega_n,
+        )
+        fri_proof = fri_device.fri_prove_device(
+            g_planes, input_planes, forest, offset, omega_n, q, params, [tr],
+        )[0]
+    else:
+        fri_proof = fri_prove(
+            g, list(zip(codewords, trees)), offset, omega_n, q, params, tr
+        )
     return SuccinctProofR1CS(
         commitment_q=commitment_q,
         input_roots=tuple(roots),

@@ -327,8 +327,12 @@ def prove_r1cs_succinct_batch(
             for i, (w, seed) in enumerate(zip(witnesses, seeds))
         ]
 
+    from . import fri as fri_mod
+
+    device_fri = device_lde and fri_mod.DEVICE_HASH
     fe = _gl_batch_frontend(
-        r1cs, witnesses, ctx, seeds, zk, params, blinding_seeds, device_lde
+        r1cs, witnesses, ctx, seeds, zk, params, blinding_seeds, device_lde,
+        device_fri=device_fri,
     )
     q, m, mask_len = fe.q, fe.m, fe.mask_len
     d_bound, n0, omega_n, offset = fe.d_bound, fe.n0, fe.omega_n, fe.offset
@@ -348,29 +352,45 @@ def prove_r1cs_succinct_batch(
         lams[i] = tr.challenge_field(q, b"fri-lambda")
         trs.append(tr)
 
-    xs = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))  # [n0]
-    inv_a = _gl_inverse_batch(glnp.gl_sub(xs[None, :], alphas[:, None]))
-    inv_b = _gl_inverse_batch(glnp.gl_sub(xs[None, :], betas[:, None]))
-    g = np.zeros((s, n0), dtype=np.uint64)
-    lam_pow = np.ones(s, dtype=np.uint64)
-    for k in range(4):
-        lam2 = glnp.gl_mul(lam_pow, lams)
-        term_a = glnp.gl_mul(
-            glnp.gl_mul(lam_pow[:, None], glnp.gl_sub(cw[:, k], evals[:, k][:, None])),
-            inv_a,
-        )
-        term_b = glnp.gl_mul(
-            glnp.gl_mul(lam2[:, None], glnp.gl_sub(cw[:, k], evals[:, 4 + k][:, None])),
-            inv_b,
-        )
-        g = glnp.gl_add(g, glnp.gl_add(term_a, term_b))
-        lam_pow = glnp.gl_mul(lam2, lams)
+    # batched FRI (DEEP quotient on device for the device-resident path)
+    if fe.forest is not None:
+        from . import fri_device
 
-    # batched FRI
-    inputs = [
-        [(cw[i, k], trees[i][k]) for k in range(4)] for i in range(s)
-    ]
-    fri_proofs = _fri_prove_batch(g, inputs, offset, omega_n, params, trs)
+        input_planes = fe.planes_dev.reshape(4, s, 4, n0)
+        g_planes = fri_device.deep_combine_device(
+            input_planes, alphas, betas, lams, evals, offset, omega_n
+        )
+        fri_proofs = fri_device.fri_prove_device(
+            g_planes, input_planes, fe.forest, offset, omega_n, q, params, trs
+        )
+    else:
+        xs = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))  # [n0]
+        inv_a = _gl_inverse_batch(glnp.gl_sub(xs[None, :], alphas[:, None]))
+        inv_b = _gl_inverse_batch(glnp.gl_sub(xs[None, :], betas[:, None]))
+        g = np.zeros((s, n0), dtype=np.uint64)
+        lam_pow = np.ones(s, dtype=np.uint64)
+        for k in range(4):
+            lam2 = glnp.gl_mul(lam_pow, lams)
+            term_a = glnp.gl_mul(
+                glnp.gl_mul(
+                    lam_pow[:, None],
+                    glnp.gl_sub(cw[:, k], evals[:, k][:, None]),
+                ),
+                inv_a,
+            )
+            term_b = glnp.gl_mul(
+                glnp.gl_mul(
+                    lam2[:, None],
+                    glnp.gl_sub(cw[:, k], evals[:, 4 + k][:, None]),
+                ),
+                inv_b,
+            )
+            g = glnp.gl_add(g, glnp.gl_add(term_a, term_b))
+            lam_pow = glnp.gl_mul(lam2, lams)
+        inputs = [
+            [(cw[i, k], trees[i][k]) for k in range(4)] for i in range(s)
+        ]
+        fri_proofs = _fri_prove_batch(g, inputs, offset, omega_n, params, trs)
 
     return [
         SuccinctProofR1CS(
@@ -407,7 +427,7 @@ class _BatchFrontend:
     __slots__ = (
         "q", "m", "mask_len", "d_bound", "n0", "omega_n", "offset",
         "cw", "trees", "roots", "commitments", "chals",
-        "alphas", "betas", "evals",
+        "alphas", "betas", "evals", "planes_dev", "forest",
     )
 
 
@@ -420,6 +440,7 @@ def _gl_batch_frontend(
     params: FriParams,
     blinding_seeds: Optional[Sequence[int]],
     device_lde: bool,
+    device_fri: bool = False,
 ) -> _BatchFrontend:
     s = len(witnesses)
     q = r1cs.modulus
@@ -491,23 +512,42 @@ def _gl_batch_frontend(
 
     # 4. Reed–Solomon encodings: ONE batched NTT over all 4*S polynomials
     polys = [p[i] for i in range(s) for p in (a_t, b_t, c_t, q_t)]
-    if device_lde:
-        from .fri import lde_batch_device
+    planes_dev = None
+    forest = None
+    if device_fri:
+        # device-resident path: codewords and Merkle levels stay on device
+        # (proof/fri_device.py); the host pulls values once for the DEEP
+        # quotient and 32-byte roots.
+        from . import fri_device
+        from .fri import lde_batch_device_planes
 
-        codewords = lde_batch_device(polys, n0, offset, q)
+        planes_dev, _ = lde_batch_device_planes(
+            polys, n0, offset, q, pull_values=False
+        )
+        cw = None  # device DEEP: codewords never visit the host
+        forest = fri_device.commit_planes_dev(planes_dev)
+        trees = None
+        roots = [list(forest.roots[4 * i : 4 * i + 4]) for i in range(s)]
     else:
-        from .fri import lde
+        if device_lde:
+            from .fri import lde_batch_device
 
-        codewords = [
-            np.asarray(lde(p, n0, offset, omega_n, q), dtype=np.uint64)
-            for p in polys
-        ]
-    cw = np.stack(codewords).reshape(s, 4, n0)
+            codewords = lde_batch_device(polys, n0, offset, q)
+        else:
+            from .fri import lde
 
-    # 5. Merkle commitments: ONE batched Keccak dispatch for all 4*S trees
-    trees_flat = commit_codewords([cw[i, k] for i in range(s) for k in range(4)])
-    trees = [trees_flat[4 * i : 4 * i + 4] for i in range(s)]
-    roots = [[t.root for t in trees[i]] for i in range(s)]
+            codewords = [
+                np.asarray(lde(p, n0, offset, omega_n, q), dtype=np.uint64)
+                for p in polys
+            ]
+        cw = np.stack(codewords).reshape(s, 4, n0)
+
+        # 5. Merkle commitments: ONE batched Keccak dispatch for all 4*S trees
+        trees_flat = commit_codewords(
+            [cw[i, k] for i in range(s) for k in range(4)]
+        )
+        trees = [trees_flat[4 * i : 4 * i + 4] for i in range(s)]
+        roots = [[t.root for t in trees[i]] for i in range(s)]
 
     # 6. lattice commitments + dual Fiat–Shamir challenges (per statement)
     commitments = []
@@ -537,6 +577,7 @@ def _gl_batch_frontend(
     fe.cw, fe.trees, fe.roots = cw, trees, roots
     fe.commitments, fe.chals = commitments, chals
     fe.alphas, fe.betas, fe.evals = alphas, betas, evals
+    fe.planes_dev, fe.forest = planes_dev, forest
     return fe
 
 
