@@ -33,7 +33,7 @@ REF_M20_SECONDS = 0.218  # reference extrapolated NTT time at m=2^20
 # start while budget remains, and BENCH_LAST.json is rewritten after every
 # section so partial results survive any external kill.
 _START = time.time()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "330"))
 
 
 def _remaining() -> float:
@@ -491,17 +491,21 @@ def main():
     if extra is not None:
         extra["budget_s"] = _BUDGET_S
         dump(extra)
-        for fn in (bench_secondary, bench_proofs_per_sec, bench_succinct):
+        for fn in (bench_secondary, bench_succinct, bench_proofs_per_sec):
             section = {}
+            stop = False
             try:
                 fn(section)
             except BudgetExceeded as e:
                 section[f"{fn.__name__}_skipped"] = str(e)
+                stop = True
             except Exception as e:  # noqa: BLE001 - secondary metrics best-effort
                 section[f"{fn.__name__}_error"] = f"{type(e).__name__}: {e}"[:200]
             extra.update(section)
             extra["elapsed_s"] = round(time.time() - _START, 1)
             dump(extra)  # rewrite after every section: survive external kills
+            if stop:
+                break
 
 
 if __name__ == "__main__":

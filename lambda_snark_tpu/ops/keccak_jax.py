@@ -135,19 +135,61 @@ def keccak_f(lo, hi):
     return lo, hi
 
 
-def sha3_256_single_block(words):
+def keccak_f_looped(lo, hi):
+    """``keccak_f`` with the 24 rounds as a ``lax.fori_loop``.
+
+    Bit-identical to the unrolled form but ~24x smaller as a traced graph —
+    used by graph-heavy callers (the single-dispatch FRI chain traces
+    hundreds of permutations; unrolled they blow up XLA compile time).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    rot1 = np.uint32(1)
+    rot31 = np.uint32(31)
+    tile_reps = (5,) + (1,) * (lo.ndim - 1)
+    rc_lo = jnp.asarray(
+        np.array([rc & 0xFFFFFFFF for rc in _RC], dtype=np.uint32)
+    )
+    rc_hi = jnp.asarray(np.array([rc >> 32 for rc in _RC], dtype=np.uint32))
+
+    def round_fn(i, state):
+        lo, hi = state
+        c_lo = lo[0:5] ^ lo[5:10] ^ lo[10:15] ^ lo[15:20] ^ lo[20:25]
+        c_hi = hi[0:5] ^ hi[5:10] ^ hi[10:15] ^ hi[15:20] ^ hi[20:25]
+        c1_lo = (c_lo << rot1) | (c_hi >> rot31)
+        c1_hi = (c_hi << rot1) | (c_lo >> rot31)
+        d_lo = jnp.roll(c_lo, 1, axis=0) ^ jnp.roll(c1_lo, -1, axis=0)
+        d_hi = jnp.roll(c_hi, 1, axis=0) ^ jnp.roll(c1_hi, -1, axis=0)
+        lo = lo ^ jnp.tile(d_lo, tile_reps)
+        hi = hi ^ jnp.tile(d_hi, tile_reps)
+        r_lo, r_hi = _rotl_pair(lo, hi, _ROT)
+        b_lo = r_lo[_PI_SRC]
+        b_hi = r_hi[_PI_SRC]
+        lo = b_lo ^ (~b_lo[_CHI_1] & b_lo[_CHI_2])
+        hi = b_hi ^ (~b_hi[_CHI_1] & b_hi[_CHI_2])
+        lo = lo.at[0].set(lo[0] ^ rc_lo[i])
+        hi = hi.at[0].set(hi[0] ^ rc_hi[i])
+        return (lo, hi)
+
+    lo, hi = lax.fori_loop(0, 24, round_fn, (lo, hi))
+    return lo, hi
+
+
+def sha3_256_single_block(words, looped: bool = False):
     """SHA3-256 of a batch of pre-padded single-rate-block messages.
 
     words: uint32 [34, ...batch] — the 136-byte padded block as little-endian
     words on the LEADING axis (caller applies the 0x06 ... 0x80 padding).
     Returns uint32 [8, ...batch]: the 32-byte digest as LE words.
+    ``looped=True`` uses the fori_loop permutation (small traced graph).
     """
     import jax.numpy as jnp
 
     zeros = jnp.zeros((8,) + words.shape[1:], dtype=jnp.uint32)
     lo = jnp.concatenate([words[0::2], zeros], axis=0)
     hi = jnp.concatenate([words[1::2], zeros], axis=0)
-    lo, hi = keccak_f(lo, hi)
+    lo, hi = (keccak_f_looped if looped else keccak_f)(lo, hi)
     digest = jnp.stack(
         [lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], lo[3], hi[3]], axis=0
     )
@@ -196,15 +238,15 @@ def node_block_words(left, right):
     return jnp.stack(w, axis=0)
 
 
-def hash_leaves(a0, a1, b0, b1):
+def hash_leaves(a0, a1, b0, b1, looped: bool = False):
     """Digest words [8, ...batch] for Merkle leaves from uint32 value planes."""
-    return sha3_256_single_block(leaf_block_words(a0, a1, b0, b1))
+    return sha3_256_single_block(leaf_block_words(a0, a1, b0, b1), looped)
 
 
-def hash_nodes(left, right):
+def hash_nodes(left, right, looped: bool = False):
     """Digest words [8, ...batch] for interior nodes from child digest words
     (lane-major: leading axis = the 8 digest words)."""
-    return sha3_256_single_block(node_block_words(left, right))
+    return sha3_256_single_block(node_block_words(left, right), looped)
 
 
 # --- full-tree builder ----------------------------------------------------------

@@ -47,12 +47,10 @@ from .fri import (
     _effective_final_len,
     _gl_powers,
 )
-from .merkle import _finish_levels
 
 P = NTT_MODULUS
 _CTX = modulus_ctx(P)
 _D = 4
-_TOP_ROWS = 128
 _INV2_DIGITS = tuple(int_to_digits(field.mod_inverse(2, P), _D))
 
 
@@ -68,16 +66,14 @@ def planes_from_u64(arr: np.ndarray):
 
 @dataclasses.dataclass(eq=False)
 class DevForest:
-    """T Merkle trees with the heavy levels resident on device.
+    """T Merkle trees with ALL levels resident on device.
 
-    levels_dev: tuple of jax arrays [T, rows, 8] (uint32 digest words,
-    word-minor), leaf level upward, stopping at <= _TOP_ROWS rows.
-    host_tops[t]: uint8 [k, 32] levels from the last device level to the
-    root (host-finished; its first entry duplicates levels_dev[-1][t]).
+    levels_dev: tuple of jax arrays [8, T, rows] (uint32 digest words,
+    lane-major), leaf level upward, down to the 1-row root level — full
+    depth, so query paths never need host data.
     """
 
     levels_dev: tuple
-    host_tops: List[List[np.ndarray]]
     roots: List[bytes]
     num_leaves: int
 
@@ -86,57 +82,54 @@ class DevForest:
         return len(self.roots)
 
 
+def _tree_levels_in_graph(planes4, looped: bool = False) -> List:
+    """(4, T, n) planes -> lane-major digest levels [8, T, rows], leaf
+    level down to the single-row root. Pure function (traceable inside a
+    larger graph)."""
+    half = planes4.shape[-1] // 2
+    lo32 = planes4[0] | (planes4[1] << 16)
+    hi32 = planes4[2] | (planes4[3] << 16)
+    a0, a1 = lo32[..., :half], hi32[..., :half]
+    b0, b1 = lo32[..., half:], hi32[..., half:]
+    levels = [kj.hash_leaves(a0, a1, b0, b1, looped)]
+    cur = levels[0]
+    size = half
+    while size > 1:
+        cur = kj.hash_nodes(cur[..., 0::2], cur[..., 1::2], looped)
+        levels.append(cur)
+        size //= 2
+    return levels
+
+
 _TREE_CACHE: dict = {}
 
 
 def _tree_from_planes_fn(t: int, n: int):
-    """Jitted: (4, T, n) planes -> digest levels for T paired-leaf trees."""
+    """Jitted: (4, T, n) planes -> full digest levels for T trees."""
     key = (t, n)
     if key in _TREE_CACHE:
         return _TREE_CACHE[key]
     import jax
-    import jax.numpy as jnp
 
-    half = n // 2
-
-    def build(planes4):
-        lo32 = planes4[0] | (planes4[1] << 16)
-        hi32 = planes4[2] | (planes4[3] << 16)
-        a0, a1 = lo32[:, :half], hi32[:, :half]
-        b0, b1 = lo32[:, half:], hi32[:, half:]
-        levels = [kj.hash_leaves(a0, a1, b0, b1)]  # lane-major [8, T, half]
-        cur = levels[0]
-        size = half
-        while size > _TOP_ROWS and size > 1:
-            cur = kj.hash_nodes(cur[..., 0::2], cur[..., 1::2])
-            levels.append(cur)
-            size //= 2
-        return tuple(jnp.moveaxis(level, 0, -1) for level in levels)
-
-    fn = jax.jit(build)
+    fn = jax.jit(lambda planes4: tuple(_tree_levels_in_graph(planes4)))
     _TREE_CACHE[key] = fn
     return fn
 
 
 def commit_planes_dev(planes4) -> DevForest:
     """(4, T, n) device planes -> DevForest of T trees (one device dispatch
-    plus one <=4 KB/tree top pull). Leaf i pairs values (i, i + n/2), the
+    plus one 32 B/tree root pull). Leaf i pairs values (i, i + n/2), the
     exact layout of ``fri.commit_codeword``."""
     _four, t, n = planes4.shape
     if n < 4 or n & (n - 1):
         raise DomainError(f"codeword size must be a power of two >= 4, got {n}")
     levels = _tree_from_planes_fn(t, n)(planes4)
-    top = np.asarray(levels[-1])  # [T, rows<=128, 8]
-    host_tops: List[List[np.ndarray]] = []
-    roots: List[bytes] = []
-    for ti in range(t):
-        lv = _finish_levels([kj.digest_words_to_bytes(top[ti])])
-        host_tops.append(lv)
-        roots.append(lv[-1][0].tobytes())
-    return DevForest(
-        levels_dev=tuple(levels), host_tops=host_tops, roots=roots,
-        num_leaves=n // 2,
-    )
+    root_words = np.asarray(levels[-1])[..., 0]  # [8, T]
+    roots = [
+        kj.digest_words_to_bytes(root_words[:, ti].reshape(1, 8))[0].tobytes()
+        for ti in range(t)
+    ]
+    return DevForest(levels_dev=tuple(levels), roots=roots, num_leaves=n // 2)
 
 
 # --- fold -----------------------------------------------------------------------
@@ -351,7 +344,7 @@ def _gather_flat(specs: tuple, arrays: list, idxs: list):
     specs[i] in {"planes", "planesK", "level"}:
       planes : arr (4, S, n),    idx (S, Q)     -> (4, S, Q)
       planesK: arr (4, S, K, n), idx (S, Q)     -> (4, S, K, Q)
-      level  : arr (T, rows, 8), idx (T, Q)     -> (T, Q, 8)
+      level  : arr (8, T, rows), idx (T, Q)     -> (8, T, Q)
     Returns one flat uint32 array (a single relay pull syncs everything).
     """
     import jax
@@ -361,18 +354,20 @@ def _gather_flat(specs: tuple, arrays: list, idxs: list):
     def g(arrays, idxs):
         outs = []
         for kind, arr, idx in zip(specs, arrays, idxs):
-            if kind == "planes":
-                take = jnp.take_along_axis(arr, idx[None, :, :], axis=2)
-            elif kind == "planesK":
-                take = jnp.take_along_axis(
-                    arr, idx[None, :, None, :], axis=3
-                )
-            else:  # level
-                take = jnp.take_along_axis(arr, idx[:, :, None], axis=1)
-            outs.append(take.reshape(-1))
+            outs.append(_take_spec(kind, arr, idx).reshape(-1))
         return jnp.concatenate(outs)
 
     return np.asarray(g(arrays, idxs))
+
+
+def _take_spec(kind: str, arr, idx):
+    import jax.numpy as jnp
+
+    if kind == "planes":
+        return jnp.take_along_axis(arr, idx[None, :, :], axis=2)
+    if kind == "planesK":
+        return jnp.take_along_axis(arr, idx[None, :, None, :], axis=3)
+    return jnp.take_along_axis(arr, idx[None, :, :], axis=2)  # level
 
 
 def _split_flat(specs, shapes, flat: np.ndarray) -> List[np.ndarray]:
@@ -424,6 +419,11 @@ def fri_prove_device(
     if q != P:
         raise DomainError("device FRI is implemented for the Goldilocks modulus")
     params.validate()
+    if DEVICE_TRANSCRIPT:
+        return fri_prove_device_chain(
+            g_planes, input_planes, input_forest, offset, omega, q, params,
+            trs,
+        )
     _four, s, k_in, n0 = input_planes.shape
     assert g_planes.shape == (_D, s, n0)
     assert input_forest.n_trees == s * k_in
@@ -495,13 +495,13 @@ def fri_prove_device(
     half0 = n0 // 2
     add("planesK", input_planes, idx_s, (4, s, k_in, nq))
     add("planesK", input_planes, idx_s + half0, (4, s, k_in, nq))
-    # input forest device siblings: levels 0 .. D_dev-2, sibling (i0>>l)^1
+    # input forest siblings: full path device-gathered, sibling (i0>>l)^1
     d_dev_in = len(input_forest.levels_dev)
     idx_rep = np.repeat(idx_s, k_in, axis=0)  # (S*K, Q), s-major
     for lvl in range(d_dev_in - 1):
         sib = ((idx_rep >> lvl) ^ 1).astype(np.int32)
         add("level", input_forest.levels_dev[lvl], sib,
-            (s * k_in, nq, 8))
+            (8, s * k_in, nq))
     # committed layers
     pos = idx_s.copy()  # folded position inside the next layer
     layer_meta = []
@@ -513,7 +513,7 @@ def fri_prove_device(
         d_dev = len(forest.levels_dev)
         for lvl in range(d_dev - 1):
             sib = ((p >> lvl) ^ 1).astype(np.int32)
-            add("level", forest.levels_dev[lvl], sib, (s, nq, 8))
+            add("level", forest.levels_dev[lvl], sib, (8, s, nq))
         layer_meta.append((p, d_dev, forest))
         pos = p
 
@@ -532,32 +532,17 @@ def fri_prove_device(
         sibs = [next(part_iter) for _ in range(max(d_dev - 1, 0))]
         layer_parts.append((p, d_dev, forest, v_lo, v_hi, sibs))
 
-    def host_path(host_tops, first_level: int, index: int,
-                  total_levels: int) -> List[bytes]:
-        """Siblings for levels >= first_level from the host-finished top."""
-        out = []
-        for lvl in range(first_level, total_levels):
-            level_arr = host_tops[lvl - first_level]
-            out.append(level_arr[(index >> lvl) ^ 1].tobytes())
-        return out
-
     proofs: List[FriProof] = []
     for si in range(s):
         queries: List[FriQuery] = []
-        in_levels_total = input_forest.num_leaves.bit_length() - 1
         for qi in range(nq):
-            i0 = int(idx_s[si, qi])
             input_openings = []
             for k in range(k_in):
                 tree_idx = si * k_in + k
                 path = [
-                    _digest_bytes(in_sibs[lvl][tree_idx, qi])
+                    _digest_bytes(in_sibs[lvl][:, tree_idx, qi])
                     for lvl in range(d_dev_in - 1)
                 ]
-                path += host_path(
-                    input_forest.host_tops[tree_idx], d_dev_in - 1, i0,
-                    in_levels_total,
-                )
                 input_openings.append(
                     LayerOpening(
                         _u64_of_plane_cols(in_lo[:, si, k, qi]),
@@ -567,15 +552,10 @@ def fri_prove_device(
                 )
             layer_openings = []
             for (p, d_dev, forest, v_lo, v_hi, sibs) in layer_parts:
-                pq = int(p[si, qi])
-                lvl_total = forest.num_leaves.bit_length() - 1
                 path = [
-                    _digest_bytes(sibs[lvl][si, qi])
+                    _digest_bytes(sibs[lvl][:, si, qi])
                     for lvl in range(d_dev - 1)
                 ]
-                path += host_path(
-                    forest.host_tops[si], d_dev - 1, pq, lvl_total
-                )
                 layer_openings.append(
                     LayerOpening(
                         _u64_of_plane_cols(v_lo[:, si, qi]),
@@ -585,5 +565,371 @@ def fri_prove_device(
                 )
             queries.append(FriQuery(tuple(input_openings), tuple(layer_openings)))
         roots = tuple(forest.roots[si] for _p, _d, forest, *_ in layer_parts)
+        proofs.append(FriProof(roots, tuple(finals[si]), tuple(queries)))
+    return proofs
+
+
+# --- Phase 2: device transcript + single-dispatch FRI chain -----------------------
+#
+# Phase 1 still pays one host<->device round trip per fold layer (the host
+# transcript must see each layer root before deriving the next challenge).
+# Here the SHA3-256 ratchet transcript itself runs on device — absorb and
+# squeeze are single-rate-block Keccak permutations over a static byte
+# layout — so the ENTIRE fold/commit/final/query pipeline is one jitted
+# dispatch; the host uploads the seeded 32-byte transcript state and pulls
+# one flat result array. Byte-identical to fri.FriTranscript (pinned in
+# tests/test_fri_device.py).
+
+import struct as _struct
+
+#: module switch: True routes fri_prove_device through the single-dispatch
+#: chain; False keeps the per-layer Phase-1 loop (used for A/B timing).
+DEVICE_TRANSCRIPT = True
+
+
+def _sha3_bytes_dev(chunks, batch_shape, looped: bool = True):
+    """SHA3-256 over a static-structured byte message, batched.
+
+    chunks: ordered list of ("const", bytes) or ("words", [uint32 arrays of
+    shape batch_shape]) — each word contributes 4 little-endian bytes.
+    Returns digest words (8, *batch_shape), bit-identical to hashlib.
+    """
+    import jax.numpy as jnp
+
+    provs: list = []
+    for kind, payload in chunks:
+        if kind == "const":
+            provs.extend(int(b) for b in payload)
+        else:
+            for arr in payload:
+                for k in range(4):
+                    provs.append((arr, 8 * k))
+    msg_len = len(provs)
+    rate = 136
+    n_blocks = msg_len // rate + 1
+    pad = [0] * (n_blocks * rate - msg_len)
+    pad[0] = 0x06
+    pad[-1] |= 0x80  # 1-byte pad area folds to 0x86
+    provs = provs + pad
+    zero = jnp.zeros(batch_shape, dtype=jnp.uint32)
+
+    def block_words(block):
+        words = []
+        for wi in range(rate // 4):
+            const_part = 0
+            w = None
+            for k in range(4):
+                p = block[4 * wi + k]
+                if isinstance(p, tuple):
+                    arr, shift = p
+                    b = (arr >> jnp.uint32(shift)) & jnp.uint32(0xFF)
+                    term = b << jnp.uint32(8 * k)
+                    w = term if w is None else (w | term)
+                else:
+                    const_part |= (p & 0xFF) << (8 * k)
+            if w is None:
+                w = zero + jnp.uint32(const_part) if const_part else zero
+            elif const_part:
+                w = w | jnp.uint32(const_part)
+            words.append(jnp.broadcast_to(w, batch_shape))
+        return words
+
+    perm = kj.keccak_f_looped if looped else kj.keccak_f
+    lo = jnp.zeros((25,) + batch_shape, dtype=jnp.uint32)
+    hi = jnp.zeros((25,) + batch_shape, dtype=jnp.uint32)
+    for bi in range(n_blocks):
+        words = block_words(provs[bi * rate:(bi + 1) * rate])
+        lo = lo.at[:17].set(lo[:17] ^ jnp.stack(words[0::2]))
+        hi = hi.at[:17].set(hi[:17] ^ jnp.stack(words[1::2]))
+        lo, hi = perm(lo, hi)
+    return jnp.stack([lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], lo[3], hi[3]])
+
+
+class DevTranscript:
+    """Device mirror of ``fri.FriTranscript``: the 32-byte ratchet state as
+    (8, S) uint32 words; labels and squeeze counters are static."""
+
+    def __init__(self, state_words, counter: int, looped: bool = True):
+        self.state = state_words  # (8, S) uint32
+        self.counter = counter
+        self.looped = looped
+
+    def _chunks_state(self):
+        return ("words", [self.state[i] for i in range(8)])
+
+    def absorb_chunks(self, label: bytes, chunks) -> None:
+        bshape = self.state.shape[1:]
+        self.state = _sha3_bytes_dev(
+            [self._chunks_state(), ("const", label)] + chunks, bshape,
+            self.looped,
+        )
+
+    def squeeze(self, label: bytes):
+        self.counter += 1
+        bshape = self.state.shape[1:]
+        d = _sha3_bytes_dev(
+            [self._chunks_state(),
+             ("const", label + _struct.pack("<Q", self.counter))],
+            bshape, self.looped,
+        )
+        self.state = d
+        return d
+
+
+def _challenge_planes(digest):
+    """Digest words (8, S) -> canonical (4, S) field planes: the first 8
+    digest bytes as an LE u64 mod p (one conditional subtract: value < 2p).
+    Matches ``FriTranscript.challenge_field``."""
+    import jax.numpy as jnp
+
+    w0, w1 = digest[0], digest[1]
+    d = [w0 & 0xFFFF, w0 >> 16, w1 & 0xFFFF, w1 >> 16]
+    ql = modarith._const_digits(_CTX.q_digits)
+    return jnp.stack(modarith._cond_sub(d, ql)[:4])
+
+
+_CHAIN_CACHE: dict = {}
+
+
+def _chain_fn(key, n0: int, s: int, k_in: int, d_bound: int, final_len: int,
+              num_queries: int, offset: int, omega: int, counter0: int,
+              n_input_levels: int):
+    """Build + cache the single-dispatch chain for a static config."""
+    if key in _CHAIN_CACHE:
+        return _CHAIN_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import ntt_jax
+
+    half0 = n0 // 2
+    assert half0 & (half0 - 1) == 0
+    # static fold schedule
+    schedule = []  # (n, commit?) per fold
+    d, n = d_bound, n0
+    off, om = offset, omega
+    while True:
+        d >>= 1
+        n //= 2
+        off = off * off % P
+        om = om * om % P
+        if d <= final_len:
+            schedule.append((n, False))
+            break
+        schedule.append((n, True))
+    n_last, off_last, om_last = n, off, om
+    final_plan = ntt_jax.ntt_plan(n_last, P, om_last)
+    # untwist table: inv_off^i for i < n_last
+    inv_off = field.mod_inverse(off_last, P)
+    untwist = u64_to_limbs(_gl_powers(inv_off, n_last), _D)
+
+    def chain(g_planes, input_planes, input_levels, state, tabs):
+        tr = DevTranscript(state, counter0, looped=True)
+        cur = g_planes
+        roots_words = []
+        layer_levels = []
+        layer_values = []
+        for li, (n_k, commit) in enumerate(schedule):
+            c4 = _challenge_planes(tr.squeeze(b"fri-fold"))[:, :, None]
+            lo = cur[..., : n_k]
+            hi = cur[..., n_k:]
+            t = modarith.mul_mod(
+                _CTX,
+                modarith.mul_mod(_CTX, c4, modarith.sub_mod(_CTX, lo, hi)),
+                tabs[li][:, None, :],
+            )
+            ssum = modarith.add_mod(_CTX, modarith.add_mod(_CTX, lo, hi), t)
+            cur = modarith.cpu_fusion_barrier(
+                modarith.mul_mod_const(_CTX, ssum, _INV2_DIGITS)
+            )
+            if commit:
+                levels = _tree_levels_in_graph(cur, looped=True)
+                root = levels[-1][..., 0]  # (8, S)
+                roots_words.append(root)
+                layer_levels.append(levels)
+                layer_values.append(cur)
+                tr.absorb_chunks(
+                    b"fri-layer-root",
+                    [("words", [root[i] for i in range(8)])],
+                )
+        # final polynomial: device iNTT + offset untwist
+        fin = ntt_jax.ntt_inverse(final_plan, cur)
+        fin = modarith.cpu_fusion_barrier(
+            modarith.mul_mod(_CTX, fin, jnp.asarray(untwist)[:, None, :])
+        )
+        ok = jnp.all(fin[..., final_len:] == 0, axis=(0, 2)) if (
+            n_last > final_len
+        ) else jnp.ones((s,), dtype=bool)
+        fin_t = fin[..., :final_len]
+        w_lo = fin_t[0] | (fin_t[1] << 16)  # (S, final_len)
+        w_hi = fin_t[2] | (fin_t[3] << 16)
+        fin_words = []
+        for i in range(final_len):
+            fin_words.extend([w_lo[:, i], w_hi[:, i]])
+        tr.absorb_chunks(
+            b"fri-final",
+            [("const", _struct.pack("<Q", final_len)),
+             ("words", fin_words)],
+        )
+        # query indices (bound n0/2 is a power of two -> low-bit mask)
+        idx_list = []
+        for _ in range(num_queries):
+            dg = tr.squeeze(b"fri-query")
+            idx_list.append((dg[0] & jnp.uint32(half0 - 1)).astype(jnp.int32))
+        idx = jnp.stack(idx_list, axis=-1)  # (S, Q)
+
+        outs = [
+            _take_spec("planesK", input_planes, idx),
+            _take_spec("planesK", input_planes, idx + half0),
+        ]
+        idx_rep = jnp.repeat(idx, k_in, axis=0)  # (S*K, Q)
+        for lvl in range(n_input_levels - 1):
+            sib = (idx_rep >> lvl) ^ 1
+            outs.append(_take_spec("level", input_levels[lvl], sib))
+        pos = idx
+        for values, levels in zip(layer_values, layer_levels):
+            half = values.shape[-1] // 2
+            p = pos & (half - 1)
+            outs.append(_take_spec("planes", values, p))
+            outs.append(_take_spec("planes", values, p + half))
+            for lvl in range(len(levels) - 1):
+                sib = (p >> lvl) ^ 1
+                outs.append(_take_spec("level", levels[lvl], sib))
+            pos = p
+        flat = jnp.concatenate([o.reshape(-1) for o in outs])
+        if roots_words:
+            roots_out = jnp.stack(roots_words)  # (L, 8, S)
+        else:
+            roots_out = jnp.zeros((0, 8, s), dtype=jnp.uint32)
+        return roots_out, fin_t, ok, flat
+
+    fn = jax.jit(chain)
+    _CHAIN_CACHE[key] = fn
+    return fn
+
+
+def fri_prove_device_chain(
+    g_planes,
+    input_planes,
+    input_forest: DevForest,
+    offset: int,
+    omega: int,
+    q: int,
+    params: FriParams,
+    trs: Sequence[FriTranscript],
+) -> List[FriProof]:
+    """Single-dispatch ``fri_prove_device``: the Fiat-Shamir transcript runs
+    on device, so folds, Merkle commits, the final polynomial, query index
+    derivation and all opening gathers execute as ONE jitted program. The
+    host uploads the seeded transcript states and pulls one result bundle.
+    Byte-identical to ``fri.fri_prove``.
+    """
+    if q != P:
+        raise DomainError("device FRI is implemented for the Goldilocks modulus")
+    params.validate()
+    import jax.numpy as jnp
+
+    _four, s, k_in, n0 = input_planes.shape
+    assert g_planes.shape == (_D, s, n0)
+    d_bound = n0 >> params.log_blowup
+    final_len = _effective_final_len(d_bound, params.final_len)
+    tabs = _layer_inv_tables(n0, offset, omega)
+    counters = {tr._counter for tr in trs}
+    assert len(counters) == 1, "statement transcripts must be in lockstep"
+    counter0 = counters.pop()
+    state = jnp.asarray(
+        np.stack(
+            [np.frombuffer(tr._state, dtype="<u4") for tr in trs], axis=1
+        )
+    )  # (8, S)
+    n_input_levels = len(input_forest.levels_dev)
+    key = (s, k_in, n0, params.log_blowup, final_len, params.num_queries,
+           offset, omega, counter0)
+    fn = _chain_fn(key, n0, s, k_in, d_bound, final_len, params.num_queries,
+                   offset, omega, counter0, n_input_levels)
+    roots_w, fin_t, ok, flat = fn(
+        g_planes, input_planes, tuple(input_forest.levels_dev), state, tabs
+    )
+    ok_np = np.asarray(ok)
+    if not bool(ok_np.all()):
+        raise DomainError("FRI final polynomial exceeds its degree bound")
+    roots_np = np.asarray(roots_w)  # (L, 8, S)
+    fin_np = np.asarray(fin_t)      # (4, S, final_len)
+    flat_np = np.asarray(flat)
+
+    # reconstruct the static output layout to split the flat array
+    n_layers = roots_np.shape[0]
+    nq = params.num_queries
+    shapes = [(4, s, k_in, nq), (4, s, k_in, nq)]
+    shapes += [(8, s * k_in, nq)] * (n_input_levels - 1)
+    n_k = n0
+    d = d_bound
+    layer_leaves = []
+    while True:
+        d >>= 1
+        n_k //= 2
+        if d <= final_len:
+            break
+        shapes += [(4, s, nq), (4, s, nq)]
+        depth = (n_k // 2).bit_length()  # levels incl. root; path = depth-1
+        shapes += [(8, s, nq)] * ((n_k // 2).bit_length() - 1)
+        layer_leaves.append(n_k // 2)
+    parts = _split_flat([None] * len(shapes), shapes, flat_np)
+
+    part_iter = iter(parts)
+    in_lo = next(part_iter)
+    in_hi = next(part_iter)
+    in_sibs = [next(part_iter) for _ in range(n_input_levels - 1)]
+    layer_parts = []
+    for leaves in layer_leaves:
+        v_lo = next(part_iter)
+        v_hi = next(part_iter)
+        sibs = [next(part_iter) for _ in range(leaves.bit_length() - 1)]
+        layer_parts.append((v_lo, v_hi, sibs))
+
+    finals: List[List[int]] = []
+    for si in range(s):
+        fin = [
+            _u64_of_plane_cols(fin_np[:, si, i]) for i in range(final_len)
+        ]
+        finals.append(fin)
+
+    proofs: List[FriProof] = []
+    for si in range(s):
+        queries: List[FriQuery] = []
+        for qi in range(nq):
+            input_openings = []
+            for k in range(k_in):
+                tree_idx = si * k_in + k
+                path = [
+                    _digest_bytes(in_sibs[lvl][:, tree_idx, qi])
+                    for lvl in range(n_input_levels - 1)
+                ]
+                input_openings.append(
+                    LayerOpening(
+                        _u64_of_plane_cols(in_lo[:, si, k, qi]),
+                        _u64_of_plane_cols(in_hi[:, si, k, qi]),
+                        tuple(path),
+                    )
+                )
+            layer_openings = []
+            for (v_lo, v_hi, sibs) in layer_parts:
+                path = [
+                    _digest_bytes(sib[:, si, qi]) for sib in sibs
+                ]
+                layer_openings.append(
+                    LayerOpening(
+                        _u64_of_plane_cols(v_lo[:, si, qi]),
+                        _u64_of_plane_cols(v_hi[:, si, qi]),
+                        tuple(path),
+                    )
+                )
+            queries.append(FriQuery(tuple(input_openings), tuple(layer_openings)))
+        roots = tuple(
+            kj.digest_words_to_bytes(
+                roots_np[li, :, si].reshape(1, 8)
+            )[0].tobytes()
+            for li in range(n_layers)
+        )
         proofs.append(FriProof(roots, tuple(finals[si]), tuple(queries)))
     return proofs
