@@ -204,8 +204,11 @@ def _encode_message(ctx: LweContext, message: Sequence[int]) -> np.ndarray:
         )
     m = np.zeros(ctx.n, dtype=np.uint64)
     q = ctx.q
-    for i, v in enumerate(message):
-        m[i] = int(v) % q  # < q < p: injective embedding
+    if isinstance(message, np.ndarray) and message.dtype == np.uint64:
+        m[: len(message)] = message % np.uint64(q)  # < q < p: injective
+    else:
+        for i, v in enumerate(message):
+            m[i] = int(v) % q  # < q < p: injective embedding
     return m
 
 

@@ -266,12 +266,13 @@ def _tree_fn(half: int, min_rows: int):
         return _tree_cache[key]
 
     def build(a0, a1, b0, b1):
-        # lane-major internally: [8, T, k]
-        levels = [hash_leaves(a0, a1, b0, b1)]
+        # lane-major internally: [8, T, k]; looped Keccak keeps the traced
+        # graph ~24x smaller (bit-identical, large-compile-time win)
+        levels = [hash_leaves(a0, a1, b0, b1, looped=True)]
         cur = levels[0]
         size = half
         while size > min_rows and size > 1:
-            cur = hash_nodes(cur[..., 0::2], cur[..., 1::2])
+            cur = hash_nodes(cur[..., 0::2], cur[..., 1::2], looped=True)
             levels.append(cur)
             size //= 2
         # word-minor on the way out: [T, k, 8]

@@ -111,7 +111,9 @@ def _tree_from_planes_fn(t: int, n: int):
         return _TREE_CACHE[key]
     import jax
 
-    fn = jax.jit(lambda planes4: tuple(_tree_levels_in_graph(planes4)))
+    # looped Keccak: bit-identical, ~24x smaller traced graph (the unrolled
+    # form cost ~320 s of XLA compile at n = 2^16 leaf batches)
+    fn = jax.jit(lambda planes4: tuple(_tree_levels_in_graph(planes4, True)))
     _TREE_CACHE[key] = fn
     return fn
 
@@ -217,20 +219,26 @@ def _inv_planes(planes):
     """Fermat inverse x^(p-2) on digit planes (exact square-and-multiply;
     zero maps to zero like ``field.mod_inverse`` never being called on it —
     DEEP denominators x - alpha are nonzero w.o.p., matching the host path
-    which would raise on a zero denominator)."""
-    e = P - 2
-    bits = bin(e)[2:]
+    which would raise on a zero denominator).
+
+    The 63-step ladder runs as a ``fori_loop`` with a static bit table and a
+    masked multiply: the traced graph is 2 mul_mods instead of ~95 (the
+    unrolled form cost ~90 s of XLA compile); the barrier per step keeps
+    XLA:CPU from re-expanding the chain (no-op on TPU)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    bits = [int(b) for b in bin(P - 2)[2:]]  # MSB first; bits[0] == 1
+    bits_arr = jnp.asarray(np.array(bits[1:], dtype=np.uint32))
     planes = modarith.cpu_fusion_barrier(planes)
-    acc = planes
-    for b in bits[1:]:
-        # barrier EVERY step on CPU: chained mul_mods re-expand ~4x per
-        # level under XLA:CPU fusion duplication (no-op on TPU)
+
+    def body(i, acc):
         acc = modarith.cpu_fusion_barrier(modarith.mul_mod(_CTX, acc, acc))
-        if b == "1":
-            acc = modarith.cpu_fusion_barrier(
-                modarith.mul_mod(_CTX, acc, planes)
-            )
-    return acc
+        mul = modarith.mul_mod(_CTX, acc, planes)
+        acc = jnp.where(bits_arr[i] != 0, mul, acc)
+        return modarith.cpu_fusion_barrier(acc)
+
+    return lax.fori_loop(0, len(bits) - 1, body, planes)
 
 
 _DEEP_CACHE: dict = {}

@@ -79,6 +79,60 @@ def chacha20_block(key_words: List[int], counter: int, nonce_words: List[int]) -
     return [(xi + si) & M32 for xi, si in zip(x, state)]
 
 
+def _quarter_np(x, a: int, b: int, c: int, d: int) -> None:
+    """Vectorized quarter round on state rows of ``x`` (uint32, in place)."""
+    x[a] += x[b]
+    x[d] ^= x[a]
+    x[d] = (x[d] << np.uint32(16)) | (x[d] >> np.uint32(16))
+    x[c] += x[d]
+    x[b] ^= x[c]
+    x[b] = (x[b] << np.uint32(12)) | (x[b] >> np.uint32(20))
+    x[a] += x[b]
+    x[d] ^= x[a]
+    x[d] = (x[d] << np.uint32(8)) | (x[d] >> np.uint32(24))
+    x[c] += x[d]
+    x[b] ^= x[c]
+    x[b] = (x[b] << np.uint32(7)) | (x[b] >> np.uint32(25))
+
+
+def chacha20_blocks_np(
+    key_words: List[int], counter: int, nonce_words: List[int], nblocks: int
+) -> np.ndarray:
+    """``nblocks`` consecutive ChaCha20 blocks, vectorized over the counter.
+
+    Returns uint32 [nblocks, 16] — row b is ``chacha20_block(key, counter+b,
+    nonce)`` word-for-word (asserted in tests/test_chacha.py). numpy uint32
+    arithmetic wraps exactly like the scalar masked-int path.
+    """
+    ctrs = np.arange(nblocks, dtype=np.uint64) + np.uint64(counter)
+    state = np.empty((16, nblocks), dtype=np.uint32)
+    state[0], state[1], state[2], state[3] = (
+        0x61707865, 0x3320646E, 0x79622D32, 0x6B206574,
+    )
+    for i, k in enumerate(key_words):
+        state[4 + i] = k
+    state[12] = (ctrs & np.uint64(M32)).astype(np.uint32)
+    state[13] = (ctrs >> np.uint64(32)).astype(np.uint32)
+    state[14] = nonce_words[0]
+    state[15] = nonce_words[1]
+    x = state.copy()
+    old = np.seterr(over="ignore")
+    try:
+        for _ in range(10):
+            _quarter_np(x, 0, 4, 8, 12)
+            _quarter_np(x, 1, 5, 9, 13)
+            _quarter_np(x, 2, 6, 10, 14)
+            _quarter_np(x, 3, 7, 11, 15)
+            _quarter_np(x, 0, 5, 10, 15)
+            _quarter_np(x, 1, 6, 11, 12)
+            _quarter_np(x, 2, 7, 8, 13)
+            _quarter_np(x, 3, 4, 9, 14)
+        x += state
+    finally:
+        np.seterr(**old)
+    return x.T
+
+
 class ChaCha20Rng:
     """Drop-in parity implementation of ``rand_chacha::ChaCha20Rng``."""
 
@@ -112,5 +166,30 @@ class ChaCha20Rng:
         """``rng.gen::<u64>() % modulus`` — the reference's blinding draw."""
         return self.next_u64() % modulus
 
+    def _keystream_u32(self, n: int) -> np.ndarray:
+        """The next ``n`` keystream u32 words, vectorized over whole blocks.
+
+        Word-for-word identical to ``n`` calls of ``next_u32`` (drains the
+        partial buffer first, then generates counter-consecutive blocks and
+        re-buffers the remainder)."""
+        take = min(len(self._buf), n)
+        head = np.array(self._buf[:take], dtype=np.uint32)
+        del self._buf[:take]
+        rem = n - take
+        if rem == 0:
+            return head
+        nblocks = (rem + 15) // 16
+        flat = chacha20_blocks_np(
+            self._key, self._counter, self._nonce, nblocks
+        ).reshape(-1)
+        self._counter += nblocks
+        self._buf = [int(w) for w in flat[rem:]]
+        return np.concatenate([head, flat[:rem]]) if take else flat[:rem]
+
     def fill_u64(self, count: int) -> np.ndarray:
-        return np.array([self.next_u64() for _ in range(count)], dtype=np.uint64)
+        """The next ``count`` u64 draws (lo word first), vectorized.
+
+        Draw-for-draw identical to repeated ``next_u64`` (pinned in
+        tests/test_chacha.py)."""
+        w = self._keystream_u32(2 * count).astype(np.uint64)
+        return w[0::2] | (w[1::2] << np.uint64(32))
