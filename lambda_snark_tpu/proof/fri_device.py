@@ -393,6 +393,13 @@ def _digest_bytes(words8: np.ndarray) -> bytes:
     return kj.digest_words_to_bytes(words8.reshape(1, 8))[0].tobytes()
 
 
+def _digest_block_bytes(words8: np.ndarray) -> np.ndarray:
+    """uint32 [8, ...] digest words -> uint8 [..., 32], one vectorized pass
+    (the per-element ``_digest_bytes`` loop dominated proof reconstruction)."""
+    le = np.ascontiguousarray(np.moveaxis(words8, 0, -1).astype("<u4"))
+    return le.view(np.uint8).reshape(words8.shape[1:] + (32,))
+
+
 def _u64_of_plane_cols(cols: np.ndarray) -> int:
     """(4,) uint32 digit column -> int value."""
     return int(
@@ -885,22 +892,32 @@ def fri_prove_device_chain(
     parts = _split_flat([None] * len(shapes), shapes, flat_np)
 
     part_iter = iter(parts)
-    in_lo = next(part_iter)
-    in_hi = next(part_iter)
-    in_sibs = [next(part_iter) for _ in range(n_input_levels - 1)]
+    # vectorized conversions: digit planes -> uint64 values, digest words ->
+    # 32-byte rows, each in ONE pass per array (the per-element loops were
+    # the reconstruction hot spot at large statement counts)
+    in_lo = from_limbs_u64(next(part_iter))  # (S, K, Q)
+    in_hi = from_limbs_u64(next(part_iter))
+    in_sibs = [
+        _digest_block_bytes(next(part_iter))  # (S*K, Q, 32)
+        for _ in range(n_input_levels - 1)
+    ]
     layer_parts = []
     for leaves in layer_leaves:
-        v_lo = next(part_iter)
-        v_hi = next(part_iter)
-        sibs = [next(part_iter) for _ in range(leaves.bit_length() - 1)]
+        v_lo = from_limbs_u64(next(part_iter))  # (S, Q)
+        v_hi = from_limbs_u64(next(part_iter))
+        sibs = [
+            _digest_block_bytes(next(part_iter))  # (S, Q, 32)
+            for _ in range(leaves.bit_length() - 1)
+        ]
         layer_parts.append((v_lo, v_hi, sibs))
 
-    finals: List[List[int]] = []
-    for si in range(s):
-        fin = [
-            _u64_of_plane_cols(fin_np[:, si, i]) for i in range(final_len)
-        ]
-        finals.append(fin)
+    fin_u64 = from_limbs_u64(fin_np)  # (S, final_len)
+    finals: List[List[int]] = [
+        [int(v) for v in fin_u64[si]] for si in range(s)
+    ]
+    roots_bytes = _digest_block_bytes(
+        np.moveaxis(roots_np, 0, 1)  # (8, L, S)
+    ) if n_layers else np.zeros((0, s, 32), dtype=np.uint8)  # (L, S, 32)
 
     proofs: List[FriProof] = []
     for si in range(s):
@@ -910,34 +927,26 @@ def fri_prove_device_chain(
             for k in range(k_in):
                 tree_idx = si * k_in + k
                 path = [
-                    _digest_bytes(in_sibs[lvl][:, tree_idx, qi])
-                    for lvl in range(n_input_levels - 1)
+                    sib[tree_idx, qi].tobytes() for sib in in_sibs
                 ]
                 input_openings.append(
                     LayerOpening(
-                        _u64_of_plane_cols(in_lo[:, si, k, qi]),
-                        _u64_of_plane_cols(in_hi[:, si, k, qi]),
+                        int(in_lo[si, k, qi]),
+                        int(in_hi[si, k, qi]),
                         tuple(path),
                     )
                 )
             layer_openings = []
             for (v_lo, v_hi, sibs) in layer_parts:
-                path = [
-                    _digest_bytes(sib[:, si, qi]) for sib in sibs
-                ]
+                path = [sib[si, qi].tobytes() for sib in sibs]
                 layer_openings.append(
                     LayerOpening(
-                        _u64_of_plane_cols(v_lo[:, si, qi]),
-                        _u64_of_plane_cols(v_hi[:, si, qi]),
+                        int(v_lo[si, qi]),
+                        int(v_hi[si, qi]),
                         tuple(path),
                     )
                 )
             queries.append(FriQuery(tuple(input_openings), tuple(layer_openings)))
-        roots = tuple(
-            kj.digest_words_to_bytes(
-                roots_np[li, :, si].reshape(1, 8)
-            )[0].tobytes()
-            for li in range(n_layers)
-        )
+        roots = tuple(roots_bytes[li, si].tobytes() for li in range(n_layers))
         proofs.append(FriProof(roots, tuple(finals[si]), tuple(queries)))
     return proofs

@@ -418,6 +418,62 @@ def prove_r1cs_succinct_batch(
     ]
 
 
+def _device_frontend(
+    r1cs: R1CS,
+    witnesses,
+    ctx: lwe.LweContext,
+    seeds,
+    params: FriParams,
+    az: np.ndarray,
+    bz: np.ndarray,
+    cz: np.ndarray,
+    mask_len: int,
+    d_bound: int,
+    n0: int,
+    omega_n: int,
+    offset: int,
+) -> "_BatchFrontend":
+    """Non-ZK device front-end: one quotient+LDE dispatch, one Merkle
+    dispatch, one evaluation dispatch. Byte-identical proofs to the host
+    front-end (pinned in tests/test_succinct_batch.py)."""
+    from . import fri_device
+    from . import succinct_device as sd
+
+    s = az.shape[0]
+    q = r1cs.modulus
+    planes_dev, q_poly, polys_dev = sd.quotient_lde_device(
+        az, bz, cz, n0, offset
+    )
+    forest = fri_device.commit_planes_dev(planes_dev)
+    roots = [list(forest.roots[4 * i : 4 * i + 4]) for i in range(s)]
+
+    commitments = []
+    alphas = np.empty(s, dtype=np.uint64)
+    betas = np.empty(s, dtype=np.uint64)
+    chals = []
+    for i in range(s):
+        commitment_q, _op = lwe.commit(ctx, _gl_trim(q_poly[i]), seeds[i])
+        commitments.append(commitment_q)
+        comm_words = list(commitment_q.as_words()) + _roots_to_words(roots[i])
+        ch_alpha, ch_beta = derive_dual(
+            r1cs.public_inputs(witnesses[i]), comm_words, q
+        )
+        chals.append((ch_alpha, ch_beta))
+        alphas[i] = ch_alpha.alpha
+        betas[i] = ch_beta.alpha
+
+    evals = sd.eval_device(polys_dev, alphas, betas)
+
+    fe = _BatchFrontend()
+    fe.q, fe.m, fe.mask_len = q, r1cs.m, mask_len
+    fe.d_bound, fe.n0, fe.omega_n, fe.offset = d_bound, n0, omega_n, offset
+    fe.cw, fe.trees, fe.roots = None, None, roots
+    fe.commitments, fe.chals = commitments, chals
+    fe.alphas, fe.betas, fe.evals = alphas, betas, evals
+    fe.planes_dev, fe.forest = planes_dev, forest
+    return fe
+
+
 class _BatchFrontend:
     """Everything shared by the per-statement and aggregated succinct
     provers: batched constraint evals, interpolations, quotients, masks,
@@ -465,6 +521,14 @@ def _gl_batch_frontend(
     if bool(bad.any()):
         raise InvalidWitnessError(
             f"witness {int(np.nonzero(bad)[0][0])} does not satisfy R1CS constraints"
+        )
+
+    if device_fri and not zk:
+        # device front-end: interpolation, quotient, twist and LDE run as one
+        # dispatch; polynomials never visit the host (proof/succinct_device.py)
+        return _device_frontend(
+            r1cs, witnesses, ctx, seeds, params, az, bz, cz,
+            mask_len, d_bound, n0, omega_n, offset,
         )
 
     # 2. batched interpolation + odd-coset quotient (one NTT call per stage)

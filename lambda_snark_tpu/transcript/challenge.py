@@ -20,8 +20,25 @@ import dataclasses
 import hashlib
 from typing import Sequence
 
+import numpy as np
+
 DOMAIN_TAG = b"LAMBDA-SNARK-R-FS-v1"
 MASK64 = (1 << 64) - 1
+
+
+def _words_le_bytes(words: Sequence[int]) -> bytes:
+    """len-prefixed LE u64 packing, vectorized for numpy word arrays."""
+    prefix = (len(words) & MASK64).to_bytes(8, "little")
+    if isinstance(words, np.ndarray) and words.dtype == np.uint64:
+        return prefix + words.astype("<u8").tobytes()
+    if len(words) > 64:
+        arr = np.fromiter(
+            ((int(w) & MASK64) for w in words), dtype=np.uint64, count=len(words)
+        )
+        return prefix + arr.astype("<u8").tobytes()
+    return prefix + b"".join(
+        (int(w) & MASK64).to_bytes(8, "little") for w in words
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,12 +54,8 @@ class Challenge:
     ) -> "Challenge":
         h = hashlib.sha3_256()
         h.update(DOMAIN_TAG)
-        h.update((len(public_inputs) & MASK64).to_bytes(8, "little"))
-        for inp in public_inputs:
-            h.update((int(inp) & MASK64).to_bytes(8, "little"))
-        h.update((len(commitment_words) & MASK64).to_bytes(8, "little"))
-        for word in commitment_words:
-            h.update((int(word) & MASK64).to_bytes(8, "little"))
+        h.update(_words_le_bytes(public_inputs))
+        h.update(_words_le_bytes(commitment_words))
         digest = h.digest()
         alpha = int.from_bytes(digest[0:8], "little") % modulus
         return Challenge(alpha=alpha, hash=digest)
