@@ -234,6 +234,41 @@ def commit(ctx: LweContext, message: Sequence[int], seed: int):
     return Commitment(c), opening
 
 
+def commit_batch(ctx: LweContext, messages: Sequence[Sequence[int]], seeds: Sequence[int]):
+    """Batch ``commit``: one vectorized ring pipeline for S statements.
+
+    Value-identical to ``commit(ctx, messages[i], seeds[i])`` per statement
+    (the randomness streams are per-seed by construction; the ring NTTs
+    vectorize over the statement axis — exact mod-p arithmetic).
+    Returns (list[Commitment], list[Opening]).
+    """
+    if len(messages) != len(seeds):
+        raise InvalidInputError("messages/seeds length mismatch")
+    s_count = len(messages)
+    if s_count == 0:
+        return [], []
+    m = np.stack([_encode_message(ctx, msg) for msg in messages])  # (S, n)
+    ss = np.empty((s_count, ctx.k, ctx.n), dtype=np.int64)
+    es = np.empty((s_count, ctx.n), dtype=np.int64)
+    for i, seed in enumerate(seeds):
+        ss[i], es[i] = ctx._randomness(seed)
+    ntt = ctx.ntt
+    acc = np.zeros((s_count, ctx.n), dtype=np.uint64)
+    for j in range(ctx.k):
+        s_hat = ntt.forward_negacyclic(_signed_to_ring(ss[:, j]))  # (S, n)
+        acc = gl_add(acc, gl_mul(ctx.a_hat[j][None, :], s_hat))
+    c = ntt.inverse_negacyclic(acc)
+    c = gl_add(c, _signed_to_ring(es))
+    c = gl_add(c, m)
+    bound = _fresh_norm_bound(ctx.sigma)
+    commitments = [Commitment(c[i]) for i in range(s_count)]
+    openings = [
+        Opening(message=m[i], s=ss[i], e=es[i], norm_bound=bound, seed=seeds[i])
+        for i in range(s_count)
+    ]
+    return commitments, openings
+
+
 def verify_opening(ctx: LweContext, commitment: Commitment, opening: Opening) -> bool:
     """Recompute c from the opening and compare; check the norm bound.
 

@@ -118,6 +118,20 @@ def _tree_from_planes_fn(t: int, n: int):
     return fn
 
 
+def forest_from_levels(levels) -> DevForest:
+    """Wrap already-computed device digest levels (leaf level first, root
+    level last, lane-major [8, T, rows]) as a DevForest; pulls only the
+    32 B/tree roots."""
+    root_words = np.asarray(levels[-1])[..., 0]  # [8, T]
+    roots = [
+        bytes(row) for row in _digest_block_bytes(root_words)
+    ]
+    return DevForest(
+        levels_dev=tuple(levels), roots=roots,
+        num_leaves=int(levels[0].shape[-1]),
+    )
+
+
 def commit_planes_dev(planes4) -> DevForest:
     """(4, T, n) device planes -> DevForest of T trees (one device dispatch
     plus one 32 B/tree root pull). Leaf i pairs values (i, i + n/2), the
@@ -125,13 +139,7 @@ def commit_planes_dev(planes4) -> DevForest:
     _four, t, n = planes4.shape
     if n < 4 or n & (n - 1):
         raise DomainError(f"codeword size must be a power of two >= 4, got {n}")
-    levels = _tree_from_planes_fn(t, n)(planes4)
-    root_words = np.asarray(levels[-1])[..., 0]  # [8, T]
-    roots = [
-        kj.digest_words_to_bytes(root_words[:, ti].reshape(1, 8))[0].tobytes()
-        for ti in range(t)
-    ]
-    return DevForest(levels_dev=tuple(levels), roots=roots, num_leaves=n // 2)
+    return forest_from_levels(_tree_from_planes_fn(t, n)(planes4))
 
 
 # --- fold -----------------------------------------------------------------------

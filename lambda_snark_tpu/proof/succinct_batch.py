@@ -433,28 +433,32 @@ def _device_frontend(
     omega_n: int,
     offset: int,
 ) -> "_BatchFrontend":
-    """Non-ZK device front-end: one quotient+LDE dispatch, one Merkle
-    dispatch, one evaluation dispatch. Byte-identical proofs to the host
-    front-end (pinned in tests/test_succinct_batch.py)."""
-    from . import fri_device
+    """Non-ZK device front-end: ONE quotient+LDE+Merkle dispatch plus one
+    evaluation dispatch. Byte-identical proofs to the host front-end
+    (pinned in tests/test_succinct_batch.py)."""
     from . import succinct_device as sd
 
     s = az.shape[0]
     q = r1cs.modulus
-    planes_dev, q_poly, polys_dev = sd.quotient_lde_device(
+    planes_dev, q_poly, polys_dev, forest = sd.quotient_lde_device(
         az, bz, cz, n0, offset
     )
-    forest = fri_device.commit_planes_dev(planes_dev)
     roots = [list(forest.roots[4 * i : 4 * i + 4]) for i in range(s)]
 
-    commitments = []
+    commitments, _ops = lwe.commit_batch(
+        ctx, [_gl_trim(q_poly[i]) for i in range(s)], list(seeds)
+    )
     alphas = np.empty(s, dtype=np.uint64)
     betas = np.empty(s, dtype=np.uint64)
     chals = []
     for i in range(s):
-        commitment_q, _op = lwe.commit(ctx, _gl_trim(q_poly[i]), seeds[i])
-        commitments.append(commitment_q)
-        comm_words = list(commitment_q.as_words()) + _roots_to_words(roots[i])
+        # ndarray word vector: the transcript packer takes its vectorized path
+        comm_words = np.concatenate(
+            [
+                commitments[i].words,
+                np.array(_roots_to_words(roots[i]), dtype=np.uint64),
+            ]
+        )
         ch_alpha, ch_beta = derive_dual(
             r1cs.public_inputs(witnesses[i]), comm_words, q
         )

@@ -66,6 +66,8 @@ def _quotient_lde_fn(s: int, m: int, n0: int, offset: int):
     tw = u64_to_limbs(_gl_powers(offset, n0), _D)  # (4, n0) offset powers
 
     def fn(abc_planes):  # (4, S, 3, m) az/bz/cz digit planes
+        from . import fri_device
+
         polys = ntt_jax.ntt_inverse(plan, abc_planes)  # A_z/B_z/C_z coeffs
         odd = ntt_jax.ntt_forward_negacyclic(plan, polys)  # psi*<omega> coset
         a_odd, b_odd, c_odd = odd[:, :, 0], odd[:, :, 1], odd[:, :, 2]
@@ -88,7 +90,9 @@ def _quotient_lde_fn(s: int, m: int, n0: int, offset: int):
             _CTX, padded, jnp.asarray(tw)[:, None, None, :]
         )
         lde = _four_step_forward(fsp, twisted.reshape(_D, s * 4, n0))
-        return lde, q_poly, all_polys
+        # Merkle digest levels in the SAME dispatch (no extra barrier)
+        levels = fri_device._tree_levels_in_graph(lde, looped=True)
+        return lde, q_poly, all_polys, tuple(levels)
 
     jitted = jax.jit(fn)
     _QF_CACHE[key] = jitted
@@ -100,23 +104,29 @@ def quotient_lde_device(
 ) -> Tuple[object, np.ndarray, object]:
     """az/bz/cz: (S, m) uint64 canonical constraint evaluations.
 
-    Returns ``(lde_planes, q_poly, polys_dev)``:
+    Returns ``(lde_planes, q_poly, polys_dev, forest)``:
     - ``lde_planes``: device (4, 4*S, n0) codeword planes in statement-major
       (A, B, C, Q) order — the exact layout ``lde_batch_device_planes``
       produced for ``fri_device.commit_planes_dev``,
     - ``q_poly``: host (S, m) uint64 quotient coefficients (for the lattice
       commitment), bit-identical to the host quotient,
     - ``polys_dev``: device (4, S, 4, m) coefficient planes for
-      ``eval_device``.
+      ``eval_device``,
+    - ``forest``: DevForest of the 4*S Merkle trees (levels computed in the
+      same dispatch).
     """
     import jax.numpy as jnp
+
+    from . import fri_device
 
     s, m = az.shape
     abc = np.stack([az, bz, cz], axis=1)  # (S, 3, m)
     planes = jnp.asarray(u64_to_limbs(abc, _D))
-    lde, q_poly_planes, polys_dev = _quotient_lde_fn(s, m, n0, offset)(planes)
+    lde, q_poly_planes, polys_dev, levels = _quotient_lde_fn(
+        s, m, n0, offset
+    )(planes)
     q_poly = from_limbs_u64(np.asarray(q_poly_planes))
-    return lde, q_poly, polys_dev
+    return lde, q_poly, polys_dev, fri_device.forest_from_levels(levels)
 
 
 _EVAL_CACHE: dict = {}
