@@ -266,13 +266,17 @@ def _tree_fn(half: int, min_rows: int):
         return _tree_cache[key]
 
     def build(a0, a1, b0, b1):
-        # lane-major internally: [8, T, k]; looped Keccak keeps the traced
-        # graph ~24x smaller (bit-identical, large-compile-time win)
-        levels = [hash_leaves(a0, a1, b0, b1, looped=True)]
+        # lane-major internally: [8, T, k]. On TPU the hashes route to the
+        # Pallas kernel (ops/keccak_pallas.py, ~130x the XLA form); on CPU
+        # the looped XLA Keccak keeps the traced graph ~24x smaller
+        # (bit-identical either way).
+        from . import keccak_pallas as kp
+
+        levels = [kp.hash_leaves(a0, a1, b0, b1, looped=True)]
         cur = levels[0]
         size = half
         while size > min_rows and size > 1:
-            cur = hash_nodes(cur[..., 0::2], cur[..., 1::2], looped=True)
+            cur = kp.hash_nodes(cur[..., 0::2], cur[..., 1::2], looped=True)
             levels.append(cur)
             size //= 2
         # word-minor on the way out: [T, k, 8]

@@ -35,6 +35,7 @@ from ..core.errors import DomainError
 from ..core.params import NTT_MODULUS
 from ..ops import goldilocks_np as glnp
 from ..ops import keccak_jax as kj
+from ..ops import keccak_pallas as kp
 from ..ops import modarith
 from ..ops.limb import from_limbs_u64, int_to_digits, modulus_ctx, u64_to_limbs
 from ..r1cs.poly import ntt_inverse
@@ -91,11 +92,11 @@ def _tree_levels_in_graph(planes4, looped: bool = False) -> List:
     hi32 = planes4[2] | (planes4[3] << 16)
     a0, a1 = lo32[..., :half], hi32[..., :half]
     b0, b1 = lo32[..., half:], hi32[..., half:]
-    levels = [kj.hash_leaves(a0, a1, b0, b1, looped)]
+    levels = [kp.hash_leaves(a0, a1, b0, b1, looped)]
     cur = levels[0]
     size = half
     while size > 1:
-        cur = kj.hash_nodes(cur[..., 0::2], cur[..., 1::2], looped)
+        cur = kp.hash_nodes(cur[..., 0::2], cur[..., 1::2], looped)
         levels.append(cur)
         size //= 2
     return levels

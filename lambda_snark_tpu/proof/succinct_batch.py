@@ -423,7 +423,6 @@ def _device_frontend(
     witnesses,
     ctx: lwe.LweContext,
     seeds,
-    params: FriParams,
     az: np.ndarray,
     bz: np.ndarray,
     cz: np.ndarray,
@@ -531,7 +530,7 @@ def _gl_batch_frontend(
         # device front-end: interpolation, quotient, twist and LDE run as one
         # dispatch; polynomials never visit the host (proof/succinct_device.py)
         return _device_frontend(
-            r1cs, witnesses, ctx, seeds, params, az, bz, cz,
+            r1cs, witnesses, ctx, seeds, az, bz, cz,
             mask_len, d_bound, n0, omega_n, offset,
         )
 

@@ -72,25 +72,18 @@ def main():
         setattr(mod, name, wrapped)
         return orig
 
-    origs = [
-        (S, "_gl_quotient_and_interpolations",
-         wrap(S, "_gl_quotient_and_interpolations", "quotient+interp(host)")),
-        (FR, "lde_batch_device_planes",
-         wrap(FR, "lde_batch_device_planes", "lde(device)")),
-        (FD, "commit_planes_dev",
-         wrap(FD, "commit_planes_dev", "merkle commit(device)")),
-        (LWE, "commit", wrap(LWE, "commit", "lwe commit(host)")),
-        (S, "_gl_poly_eval", wrap(S, "_gl_poly_eval", "poly evals(host)")),
-        (FD, "deep_combine_device",
-         wrap(FD, "deep_combine_device", "deep combine(device)")),
-        (FD, "fri_prove_device",
-         wrap(FD, "fri_prove_device", "fri chain(device)")),
-    ]
-    # succinct.py imported names directly in its module namespace? it uses
-    # `from . import fri_device` and `from .fri import lde_batch_device_planes`
-    # inside the function body, so module-level patching works for fri_device
-    # attr access but NOT for the local import of lde_batch_device_planes.
-    # Patch fri module attr (the `from .fri import` inside the fn re-reads it).
+    # succinct.py uses `from . import fri_device` and
+    # `from .fri import lde_batch_device_planes` INSIDE the function body, so
+    # both re-read the patched module attributes at call time — patching the
+    # fri/fri_device module attrs below is sufficient. Patches are process-
+    # lifetime by design (the script only profiles and exits).
+    wrap(S, "_gl_quotient_and_interpolations", "quotient+interp(host)")
+    wrap(FR, "lde_batch_device_planes", "lde(device)")
+    wrap(FD, "commit_planes_dev", "merkle commit(device)")
+    wrap(LWE, "commit", "lwe commit(host)")
+    wrap(S, "_gl_poly_eval", "poly evals(host)")
+    wrap(FD, "deep_combine_device", "deep combine(device)")
+    wrap(FD, "fri_prove_device", "fri chain(device)")
 
     for tag in ("cold", "warm", "warm2"):
         times.clear()

@@ -61,3 +61,39 @@ def test_next_u64_word_order():
     rng2.next_u32()
     w1 = rng2.next_u32()
     assert ChaCha20Rng.from_u64(7).next_u64() == w0 | (w1 << 32)
+
+
+def test_chacha20_blocks_np_matches_scalar_blocks():
+    # Direct row-for-row parity of the vectorized block generator with the
+    # scalar block function, including a counter that crosses the 32-bit
+    # word boundary (state[12] wraps, state[13] increments).
+    from lambda_snark_tpu.utils.chacha import chacha20_blocks_np
+
+    key = [int.from_bytes(seed_from_u64(99)[i : i + 4], "little")
+           for i in range(0, 32, 4)]
+    nonce = [0xDEADBEEF, 0x0BADF00D]
+    for counter in (0, 5, (1 << 32) - 2):
+        rows = chacha20_blocks_np(key, counter, nonce, 5)
+        assert rows.shape == (5, 16)
+        for b in range(5):
+            expect = chacha20_block(key, counter + b, nonce)
+            assert [int(w) for w in rows[b]] == expect, (counter, b)
+
+
+def test_keystream_partial_buffer_drain():
+    # Interleave scalar next_u32 draws with vectorized fill_u64 so
+    # _keystream_u32 must (a) drain a partial buffer and (b) re-buffer a
+    # partial block remainder — word-for-word identical to all-scalar draws.
+    scalar = ChaCha20Rng.from_u64(1234)
+    mixed = ChaCha20Rng.from_u64(1234)
+    stream = [scalar.next_u32() for _ in range(200)]
+    got = []
+    got.append(mixed.next_u32())                      # partial buffer: 15 left
+    v = mixed.fill_u64(10)                            # drains 15, refills
+    for x in v:
+        got.extend([int(x) & 0xFFFFFFFF, int(x) >> 32])
+    got.extend(mixed.next_u32() for _ in range(3))    # from re-buffered words
+    v = mixed.fill_u64(30)                            # drain + multi-block
+    for x in v:
+        got.extend([int(x) & 0xFFFFFFFF, int(x) >> 32])
+    assert got == stream[: len(got)]
