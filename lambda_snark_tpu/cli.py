@@ -213,7 +213,29 @@ def cmd_healthcare_example(args) -> int:
         f"{out_dir}/r1cs/healthcare_quotient_lean.json",
         lean_export.quotient_dump_reference_format(hc_q, hc_qc),
     )
-    print(f"  lean artifacts written under {out_dir}/r1cs/")
+    # Lean certificate data files (reference: formal/tests/*.lean — the
+    # circuit, witness-data and forking-example certificates regenerate from
+    # this stack; parse+match pinned in tests/test_certificates.py)
+    from .lean import certificates as _certs
+
+    hc_wit = high_risk_witness(hc_q)
+    lean_export.write_artifact(
+        f"{out_dir}/lean/HealthcareCircuitData.lean",
+        _certs.certificate_data_lean(hc_r1cs, hc_wit),
+    )
+    lean_export.write_artifact(
+        f"{out_dir}/lean/HealthcareWitnessData.lean",
+        _certs.witness_data_lean(hc_r1cs, hc_wit),
+    )
+    ref_forking = "/root/reference/formal/tests/ForkingCertificateExample.lean"
+    if os.path.exists(ref_forking):
+        with open(ref_forking) as f:
+            fork_data = _certs.parse_forking_example(f.read())
+        lean_export.write_artifact(
+            f"{out_dir}/lean/ForkingCertificateData.lean",
+            _certs.forking_example_data_lean(fork_data),
+        )
+    print(f"  lean artifacts written under {out_dir}/r1cs/ and {out_dir}/lean/")
     return 0
 
 

@@ -19,6 +19,7 @@ existing proofs remain consumable").
 from __future__ import annotations
 
 import re
+from fractions import Fraction
 from typing import Dict, List, Sequence, Tuple
 
 Entry = Tuple[int, int, int]
@@ -160,3 +161,239 @@ def certificate_data_lean(r1cs, witness: Sequence[int],
         lines.append(f"  | ⟨{i}, _⟩ => {int(v) % q}")
     lines.append("")
     return "\n".join(lines)
+
+
+# --- HealthcareWitnessData.lean ------------------------------------------------
+#
+# The reference file (formal/tests/HealthcareWitnessData.lean) carries no
+# literals: every vector is *derived* from HealthcareCircuit.lean --
+# healthcareWitnessVector/-PublicVector wrap the witness, the domain vector is
+# healthcareOmega^i with healthcareOmega = primitiveRoot(q)^((q-1)/10), and
+# healthcareConstraintResiduals are the per-constraint values
+# (Az)_i (Bz)_i - (Cz)_i (proved zero by healthcareConstraintResiduals_zero).
+# Regeneration therefore means: compute the same quantities from the circuit
+# built HERE and emit them as explicit data the Lean side can cross-check.
+
+
+def least_primitive_root(q: int) -> int:
+    """Smallest primitive root mod prime q (the generator Mathlib-style
+    ``ZMod.primitiveRoot`` denotes for the healthcare field)."""
+    n = q - 1
+    fs = set()
+    d, t = 2, n
+    while d * d <= t:
+        while t % d == 0:
+            fs.add(d)
+            t //= d
+        d += 1
+    if t > 1:
+        fs.add(t)
+    g = 2
+    while any(pow(g, n // p, q) == 1 for p in fs):
+        g += 1
+    return g
+
+
+def healthcare_omega(q: int, order: int = 10) -> int:
+    """The primitive ``order``-th root of unity the reference's
+    HealthcareWitnessData.lean derives: primitiveRoot(q)^((q-1)/order)."""
+    if (q - 1) % order:
+        raise ValueError(f"{order} does not divide q-1")
+    omega = pow(least_primitive_root(q), (q - 1) // order, q)
+    # primitivity check (order = 2*5 here: enough to rule out proper divisors)
+    for p in {2, 5} if order == 10 else set(
+        d for d in range(2, order + 1) if order % d == 0 and _is_prime(d)
+    ):
+        if pow(omega, order // p, q) == 1:
+            raise ValueError("derived omega is not primitive")
+    return omega
+
+
+def _is_prime(v: int) -> bool:
+    if v < 2:
+        return False
+    d = 2
+    while d * d <= v:
+        if v % d == 0:
+            return False
+        d += 1
+    return True
+
+
+def constraint_residuals(r1cs, witness: Sequence[int]) -> List[int]:
+    """Per-constraint residuals (Az)_i (Bz)_i - (Cz)_i mod q -- the values
+    of ``healthcareConstraintResiduals`` (zero for a satisfying witness)."""
+    q = r1cs.modulus
+    z = [int(v) % q for v in witness]
+    az = r1cs.a.mul_vec(z, q)
+    bz = r1cs.b.mul_vec(z, q)
+    cz = r1cs.c.mul_vec(z, q)
+    return [(a * b - c) % q for a, b, c in zip(az, bz, cz)]
+
+
+def witness_data_lean(r1cs, witness: Sequence[int],
+                      field: str = "HealthcareField") -> str:
+    """Emit the HealthcareWitnessData quantities as explicit data lists:
+    witness vector, public prefix, domain points omega^i and constraint
+    residuals (reference derivations: formal/tests/HealthcareWitnessData.lean
+    lines 19-79)."""
+    q = r1cs.modulus
+    omega = healthcare_omega(q, r1cs.m)
+    z = [int(v) % q for v in witness]
+    pub = z[: r1cs.l]
+    domain = [pow(omega, i, q) for i in range(r1cs.m)]
+    residuals = constraint_residuals(r1cs, witness)
+
+    def vec(name: str, vals: List[int], count: str) -> List[str]:
+        body = ", ".join(str(v) for v in vals)
+        return [
+            f"noncomputable def {name} : Vector {field} {count} :=",
+            f"  ⟨[{body}], by decide⟩",
+            "",
+        ]
+
+    lines = [
+        "/- Regenerated witness-data certificate (lambda-snark-tpu; reference",
+        "   derivations: formal/tests/HealthcareWitnessData.lean). Explicit",
+        "   values for the vectors the reference defines by derivation;",
+        f"   healthcareOmega = {least_primitive_root(q)}^((q-1)/{r1cs.m})",
+        f"   = {omega} (least primitive root of q = {q}). -/",
+        "",
+    ]
+    lines += vec("healthcareWitnessVector", z, "healthcareR1CS.nVars")
+    lines += vec("healthcarePublicVector", pub, "healthcareR1CS.nPub")
+    lines += vec("healthcareDomainVector", domain, "healthcareR1CS.nVars")
+    lines += vec(
+        "healthcareConstraintResiduals", residuals, "healthcareR1CS.nCons"
+    )
+    return "\n".join(lines)
+
+
+# --- ForkingCertificateExample.lean --------------------------------------------
+
+
+def parse_forking_example(source: str) -> Dict:
+    """Extract the trivial-circuit data from ForkingCertificateExample.lean:
+    the ZMod field size, trivial matrix dims/entries, R1CS dims, and the two
+    stub transcript alphas (the fork point)."""
+    fm = re.search(r"SparseMatrix \(ZMod (\d+)\)", source)
+    if not fm:
+        raise ValueError("trivial matrix field not found")
+    q = int(fm.group(1))
+    mm = re.search(
+        r"trivialSparseMatrix[^\n]*(?:where|:=\s*{)\s*"
+        r"nRows := (\d+)\s*nCols := (\d+)\s*entries := \[(.*?)\]",
+        source,
+        re.S,
+    )
+    if not mm:
+        raise ValueError("trivial matrix body not found")
+    rm = re.search(
+        r"trivialR1CS[^\n]*(?:where|:=\s*{)\s*"
+        r"nVars := (\d+)\s*nCons := (\d+)\s*nPub := (\d+)",
+        source,
+        re.S,
+    )
+    if not rm:
+        raise ValueError("trivial R1CS dims not found")
+    alphas = [int(a) for a in re.findall(r"alpha := (\d+)", source)]
+    return {
+        "q": q,
+        "n_rows": int(mm.group(1)),
+        "n_cols": int(mm.group(2)),
+        "entries": [e for e in mm.group(3).split(",") if e.strip()],
+        "n_vars": int(rm.group(1)),
+        "n_cons": int(rm.group(2)),
+        "n_pub": int(rm.group(3)),
+        "alphas": alphas,
+    }
+
+
+def forking_example_data_lean(data: Dict) -> str:
+    """Re-emit the trivial forking-certificate data in the reference shape."""
+    q = data["q"]
+    lines = [
+        "/- Regenerated forking-certificate example data (lambda-snark-tpu;",
+        "   reference: formal/tests/ForkingCertificateExample.lean). -/",
+        "",
+        f"def trivialSparseMatrix : SparseMatrix (ZMod {q}) where",
+        f"  nRows := {data['n_rows']}",
+        f"  nCols := {data['n_cols']}",
+        "  entries := []",
+        "",
+        f"def trivialR1CS : R1CS (ZMod {q}) where",
+        f"  nVars := {data['n_vars']}",
+        f"  nCons := {data['n_cons']}",
+        f"  nPub := {data['n_pub']}",
+        "  A := trivialSparseMatrix",
+        "  B := trivialSparseMatrix",
+        "  C := trivialSparseMatrix",
+        "  h_dim_A := by simp [trivialSparseMatrix]",
+        "  h_dim_B := by simp [trivialSparseMatrix]",
+        "  h_dim_C := by simp [trivialSparseMatrix]",
+        "  h_pub_le := by decide",
+        "",
+        f"-- fork point: transcript alphas {data['alphas']}",
+    ]
+    return "\n".join(lines)
+
+
+# --- ForkProbabilityBounds.lean -------------------------------------------------
+
+
+def parse_fork_probability_bounds(source: str) -> List[Tuple[int, Fraction]]:
+    """Extract every (q, epsilon) pair exercised by the fork_success_bound
+    regression lemmas: statements of shape ``1 >= (eps)^2/2 - 1/(q)``."""
+    pairs: List[Tuple[int, Fraction]] = []
+    pat = re.compile(
+        r"1 ≥ (.+?) \^ 2 / 2 - 1 / \((\d+) : ℝ\)"
+    )
+    for m in pat.finditer(source):
+        eps_text = (
+            m.group(1)
+            .replace("(", " ")
+            .replace(")", " ")
+            .replace(": ℝ", " ")
+            .replace(":", " ")
+            .replace("ℝ", " ")
+            .strip()
+        )
+        if "/" in eps_text:
+            num, den = eps_text.split("/")
+            eps = Fraction(int(num.strip()), int(den.strip()))
+        else:
+            eps = Fraction(int(eps_text))
+        pairs.append((int(m.group(2)), eps))
+    if not pairs:
+        raise ValueError("no fork_success_bound statements found")
+    return pairs
+
+
+def check_fork_success_bound(q: int, eps: Fraction) -> bool:
+    """Exact-arithmetic check of the forking lower-bound inequality the Lean
+    lemmas pin: 1 >= eps^2/2 - 1/q (fork_success_bound, Soundness.lean /
+    Forking/HeavyLight.lean: success >= eps^2/2 - 1/|F|)."""
+    return Fraction(1) >= eps * eps / 2 - Fraction(1, q)
+
+
+# --- HealthcareForkingEquations.lean --------------------------------------------
+
+
+def parse_forking_equations(source: str) -> Dict:
+    """Extract the data-bearing inputs of HealthcareForkingEquations.lean:
+    the ModuleSIS hardness parameters and the square-domain property."""
+    sis = re.search(r"ModuleSIS_Hard (\d+) (\d+) (\d+) (\d+)", source)
+    if not sis:
+        raise ValueError("ModuleSIS_Hard parameters not found")
+    square = re.search(
+        r"healthcare_square\s*:\s*\n?\s*healthcareR1CS.nVars = "
+        r"healthcareR1CS.nCons",
+        source,
+    )
+    return {
+        "sis_n": int(sis.group(1)),
+        "sis_k": int(sis.group(2)),
+        "sis_q": int(sis.group(3)),
+        "sis_beta": int(sis.group(4)),
+        "asserts_square_domain": square is not None,
+    }
