@@ -680,3 +680,134 @@ def verify_r1cs_succinct(
     return fri_verify(
         proof.fri, proof.input_roots, g_eval, n0, offset, omega_n, q, params, tr
     )
+
+
+# --- zero-knowledge simulator --------------------------------------------------
+#
+# The verifier's view of a succinct-ZK proof — the 8 claimed evaluations plus
+# the queried input-codeword values — is simulatable WITHOUT the witness: the
+# Marlin-style masks make (A~, B~, C~) jointly uniform at any <= mask_len
+# codeword positions (and at the out-of-domain points alpha/beta), while Q~
+# is the deterministic function (A~ B~ - C~) / Z_H of them. The simulator
+# samples exactly that distribution. Reference intent: the base-protocol
+# simulator ``simulate_proof`` + ``tests/zk_simulator.rs:29-90``; the
+# reference has no succinct layer, so this extends its ZK contract to the
+# FRI-bound openings (VERDICT round-2 item 7).
+
+
+@dataclasses.dataclass(frozen=True)
+class SuccinctView:
+    """What a (possibly simulated) succinct proof reveals about the inputs:
+    claimed evaluations at alpha/beta plus the queried codeword values
+    ((a, b, c, q) value pairs per query)."""
+
+    alpha: int
+    beta: int
+    evals: Tuple[int, ...]  # (a,b,c,q)@alpha then (a,b,c,q)@beta
+    positions: Tuple[int, ...]  # query indices in [0, n0/2)
+    leaves: Tuple[Tuple[Tuple[int, int], ...], ...]  # [query][k] = (lo, hi)
+
+
+def succinct_view(proof: SuccinctProofR1CS, r1cs: R1CS) -> SuccinctView:
+    """Extract the revealed view from a real proof (query positions replayed
+    from the Fiat-Shamir transcript exactly as the verifier derives them)."""
+    params = proof.fri_params
+    d_bound, n0, _omega_n = _check_instance(r1cs, params, proof.mask_len)
+    evals = proof._evals()
+    tr = _seed_fri_transcript(
+        proof.modulus, r1cs.m, proof.mask_len, params, d_bound,
+        proof.input_roots, proof.challenge_alpha.alpha,
+        proof.challenge_beta.alpha, evals,
+    )
+    tr.challenge_field(proof.modulus, b"fri-lambda")
+    for root in proof.fri.layer_roots:
+        tr.challenge_field(proof.modulus, b"fri-fold")
+        tr.absorb(b"fri-layer-root", root)
+    tr.challenge_field(proof.modulus, b"fri-fold")
+    tr.absorb_words(b"fri-final", proof.fri.final_coeffs)
+    indices = tr.challenge_indices(
+        n0 // 2, params.num_queries, b"fri-query"
+    )
+    leaves = tuple(
+        tuple((op.v_lo, op.v_hi) for op in qr.input_openings)
+        for qr in proof.fri.queries
+    )
+    return SuccinctView(
+        alpha=proof.challenge_alpha.alpha,
+        beta=proof.challenge_beta.alpha,
+        evals=evals,
+        positions=tuple(indices),
+        leaves=leaves,
+    )
+
+
+def simulate_succinct_view(
+    r1cs: R1CS,
+    sim_seed: Optional[int] = None,
+    fri_params: Optional[FriParams] = None,
+) -> SuccinctView:
+    """Sample the verifier-view distribution of a succinct-ZK proof without
+    any witness.
+
+    alpha/beta and the query positions are uniform (as Fiat-Shamir outputs
+    are modeled); (a, b, c) values are uniform at every revealed point; q is
+    computed through the quotient identity q = (a*b - c) / Z_H(x), which is
+    exactly how the honest masked values are distributed (the masks are a
+    degree-``mask_len`` one-time pad on <= mask_len positions).
+    ``sim_seed=None`` draws fresh system randomness (reference
+    ``simulate_proof``'s contract, ``zk_simulator.rs:81-96``)."""
+    params = fri_params or FriParams()
+    params.validate()
+    q = r1cs.modulus
+    mask_len = 2 * params.num_queries + 8
+    d_bound, n0, omega_n = _check_instance(r1cs, params, mask_len)
+    offset = coset_offset(q)
+    if sim_seed is not None:
+        rng = ChaCha20Rng.from_u64(sim_seed)
+    else:
+        import secrets
+
+        rng = ChaCha20Rng(secrets.token_bytes(32))
+
+    def u() -> int:
+        return rng.next_u64() % q
+
+    def zh(x: int) -> int:
+        return (pow(x, r1cs.m, q) - 1) % q
+
+    # out-of-domain points: uniform, Z_H != 0 w.o.p. (resample like a real
+    # transcript would never hit H for 45+-bit fields; guard anyway)
+    while True:
+        alpha = u()
+        if zh(alpha):
+            break
+    while True:
+        beta = u()
+        if zh(beta):
+            break
+    ev = []
+    for x in (alpha, beta):
+        a, b, c = u(), u(), u()
+        qv = (a * b - c) % q * field.mod_inverse(zh(x), q) % q
+        ev.extend([a, b, c, qv])
+    half = n0 // 2
+    positions = tuple(rng.next_u64() % half for _ in range(params.num_queries))
+    leaves = []
+    for i0 in positions:
+        row = []
+        vals = {}
+        for pos in (i0, i0 + half):
+            x = offset * pow(omega_n, pos, q) % q
+            a, b, c = u(), u(), u()
+            qv = (a * b - c) % q * field.mod_inverse(zh(x), q) % q
+            vals[pos] = (a, b, c, qv)
+        for k in range(4):
+            row.append((vals[i0][k], vals[i0 + half][k]))
+        leaves.append(tuple(row))
+    return SuccinctView(
+        alpha=alpha,
+        beta=beta,
+        evals=tuple(ev),
+        positions=positions,
+        leaves=tuple(leaves),
+    )
