@@ -248,10 +248,7 @@ def commit_batch(ctx: LweContext, messages: Sequence[Sequence[int]], seeds: Sequ
     if s_count == 0:
         return [], []
     m = np.stack([_encode_message(ctx, msg) for msg in messages])  # (S, n)
-    ss = np.empty((s_count, ctx.k, ctx.n), dtype=np.int64)
-    es = np.empty((s_count, ctx.n), dtype=np.int64)
-    for i, seed in enumerate(seeds):
-        ss[i], es[i] = ctx._randomness(seed)
+    ss, es = randomness_batch(ctx, list(seeds))  # draw-identical per seed
     ntt = ctx.ntt
     acc = np.zeros((s_count, ctx.n), dtype=np.uint64)
     for j in range(ctx.k):
@@ -335,3 +332,42 @@ def linear_combine(
         bound += op.norm_bound * abs(gi_signed)
     combined_opening = Opening(message=m_acc, s=s_acc, e=e_acc, norm_bound=bound)
     return combined, combined_opening
+
+
+def randomness_batch(ctx: LweContext, seeds: Sequence[int]):
+    """Vectorized ``ctx._randomness`` over many seeds.
+
+    Draw-for-draw identical per statement (pinned in tests/test_lwe.py):
+    each seed keys its own ChaCha20 stream, and every fill in
+    ``_randomness`` is an exact multiple of 16 keystream words, so the
+    multi-key block generator reproduces the streams exactly.
+    Returns (ss (S, k, n) int64, es (S, n) int64).
+    """
+    from ..utils.chacha import chacha20_blocks_keys_np
+
+    s_count = len(seeds)
+    n, k = ctx.n, ctx.k
+    keys = np.empty((s_count, 8), dtype=np.uint32)
+    for i, seed in enumerate(seeds):
+        key = hashlib.sha3_256(
+            _DOMAIN_RAND
+            + ctx.context_seed.to_bytes(8, "little")
+            + (int(seed) & ((1 << 64) - 1)).to_bytes(8, "little")
+        ).digest()
+        keys[i] = np.frombuffer(key, dtype="<u4")
+    words_per_row = 4 * n  # 2n u64 draws
+    total_words = (k + 1) * words_per_row
+    assert total_words % 16 == 0
+    blocks = chacha20_blocks_keys_np(keys, 0, [0, 0], total_words // 16)
+    w = blocks.reshape(s_count, total_words).astype(np.uint64)
+    u64s = w[:, 0::2] | (w[:, 1::2] << np.uint64(32))  # (S, (k+1)*2n)
+    rows = u64s.reshape(s_count, k + 1, 2 * n)
+    us = rows[:, :, 0::2]
+    signs = rows[:, :, 1::2] & np.uint64(1)
+    cdf = ctx.cdf
+    mags = (cdf[None, None, None, :] < us[..., None]).sum(axis=-1).astype(
+        np.int64
+    )
+    flip = (signs.astype(np.int64) == 1) & (mags != 0)
+    signed = np.where(flip, -mags, mags)  # (S, k+1, n)
+    return signed[:, :k], signed[:, k]

@@ -76,12 +76,16 @@ def commit_batch(dctx: DeviceCommitContext, messages_planes, key: jax.Array):
     ctx = dctx.plan.ctx
     b = messages_planes.shape[1]
     n = dctx.n
-    keys = jax.random.split(key, dctx.k + 1)
+    # mesh-invariant counter-mode draws: the sample for (stream, statement,
+    # position) is independent of batching/sharding, so these bytes match
+    # the sharded prover's on every mesh shape
+    b_idx = jnp.arange(b, dtype=jnp.uint32)
+    pos = jnp.arange(n, dtype=jnp.uint32)
     acc = None
     s_signed = []
     for j in range(dctx.k):
-        s_planes, s_sgn = sampler_jax.sample_planes(
-            keys[j], (b, n), dctx.cdf_hi, dctx.cdf_lo, ctx
+        s_planes, s_sgn = sampler_jax.sample_planes_global(
+            key, j, b_idx, pos, dctx.cdf_hi, dctx.cdf_lo, ctx
         )
         s_signed.append(s_sgn)
         s_hat = ntt_forward_negacyclic(dctx.plan, s_planes)
@@ -89,8 +93,8 @@ def commit_batch(dctx: DeviceCommitContext, messages_planes, key: jax.Array):
         term = modarith.mul_mod(ctx, a_hat_j, s_hat)
         acc = term if acc is None else modarith.add_mod(ctx, acc, term)
     c = ntt_inverse_negacyclic(dctx.plan, acc)
-    e_planes, e_sgn = sampler_jax.sample_planes(
-        keys[-1], (b, n), dctx.cdf_hi, dctx.cdf_lo, ctx
+    e_planes, e_sgn = sampler_jax.sample_planes_global(
+        key, dctx.k, b_idx, pos, dctx.cdf_hi, dctx.cdf_lo, ctx
     )
     c = modarith.add_mod(ctx, c, e_planes)
     c = modarith.add_mod(ctx, c, messages_planes)
@@ -109,3 +113,51 @@ def embed_messages(dctx: DeviceCommitContext, messages: np.ndarray, q_field: int
         for j in range(length):
             out[i, j] = int(messages[i, j]) % q_field
     return jnp.asarray(to_limbs(out, dctx.plan.ctx.d))
+
+
+# --- in-graph ChaCha-parity commitment (fused into larger device programs) ----
+
+
+def a_hat_planes_for(ctx: LweContext) -> np.ndarray:
+    """(k, D, n) uint32 NTT-domain A rows for in-graph commits."""
+    plan = goldilocks_ring_plan(ctx.n)
+    return np.stack([to_limbs(ctx.a_hat[j], plan.ctx.d) for j in range(ctx.k)])
+
+
+from ..ops.limb import modulus_ctx as _modulus_ctx
+
+_GL_CTX = _modulus_ctx(NTT_MODULUS)
+
+
+def ring_planes_from_signed(v8):
+    """int8 signed Gaussian draws (..., n) -> (D, ..., n) digit planes of the
+    canonical Z_p embedding (magnitudes fit digit 0; negatives are p - |v|)."""
+    mag = jnp.abs(v8.astype(jnp.int32)).astype(jnp.uint32)
+    zero = jnp.zeros_like(mag)
+    pos = jnp.stack([mag, zero, zero, zero])
+    neg = modarith.sub_mod(_GL_CTX, jnp.stack([zero] * 4), pos)
+    return jnp.where((v8 >= 0)[None], pos, neg)
+
+
+def commit_in_graph(ring_plan: NttPlan, a_hat_planes, msg_planes, s8, e8):
+    """Traceable commitment c = sum_j A_j s_j + e + m on digit planes.
+
+    msg_planes: (D, S, n) canonical message planes (zero-padded to the ring
+    degree by the caller). s8: (S, k, n) int8 signed draws; e8: (S, n).
+    Exact mod-p arithmetic -> c is bit-identical to ``lwe.commit_batch``
+    (any correct negacyclic NTT computes the same ring product).
+    Returns (D, S, n) planes of c.
+    """
+    ctx = ring_plan.ctx
+    s_ring = ring_planes_from_signed(s8)  # (D, S, k, n)
+    e_ring = ring_planes_from_signed(e8)  # (D, S, n)
+    s_hat = ntt_forward_negacyclic(ring_plan, s_ring)
+    # a_hat_planes (k, D, n) -> (D, 1, k, n): broadcast over the S axis
+    a_b = jnp.moveaxis(jnp.asarray(a_hat_planes), 0, 1)[:, None]
+    prod = modarith.mul_mod(ctx, a_b, s_hat)
+    acc = prod[:, :, 0]
+    for j in range(1, prod.shape[2]):
+        acc = modarith.add_mod(ctx, acc, prod[:, :, j])
+    c = ntt_inverse_negacyclic(ring_plan, acc)
+    c = modarith.add_mod(ctx, c, e_ring)
+    return modarith.add_mod(ctx, c, msg_planes)

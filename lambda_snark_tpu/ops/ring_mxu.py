@@ -376,17 +376,19 @@ def commit_batch_mxu(plan: RingMxuPlan, dctx, messages_planes, key,
     ctx = dctx.plan.ctx
     b = messages_planes.shape[1]
     n = dctx.n
-    keys = jax.random.split(key, dctx.k + 1)
+    # mesh-invariant counter-mode draws (identical to lwe_jax.commit_batch)
+    b_idx = jnp.arange(b, dtype=jnp.uint32)
+    pos = jnp.arange(n, dtype=jnp.uint32)
     s2 = []
     s_signed = []
     for j in range(dctx.k):
-        s_planes, s_sgn = sampler_jax.sample_planes(
-            keys[j], (b, n), dctx.cdf_hi, dctx.cdf_lo, ctx
+        s_planes, s_sgn = sampler_jax.sample_planes_global(
+            key, j, b_idx, pos, dctx.cdf_hi, dctx.cdf_lo, ctx
         )
         s_signed.append(s_sgn)
         s2.append(pack_planes_jnp(s_planes))
-    e_planes, e_sgn = sampler_jax.sample_planes(
-        keys[-1], (b, n), dctx.cdf_hi, dctx.cdf_lo, ctx
+    e_planes, e_sgn = sampler_jax.sample_planes_global(
+        key, dctx.k, b_idx, pos, dctx.cdf_hi, dctx.cdf_lo, ctx
     )
     msg_e = modarith.add_mod(ctx, e_planes, messages_planes)
     c2 = ring_chain_mxu(plan, jnp.stack(s2), pack_planes_jnp(msg_e), balanced)

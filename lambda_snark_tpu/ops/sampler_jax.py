@@ -67,3 +67,53 @@ def sample_planes(
     planes = jnp.where(flip, neg_planes, mag_planes)
     signed = jnp.where((sign == 1) & (mags != 0), -mags, mags)
     return planes, signed
+
+
+def _signed_to_planes(mags, sign, shape, ctx: ModulusCtx):
+    zero = jnp.zeros(shape, dtype=jnp.uint32)
+    mag_planes = jnp.stack([mags.astype(jnp.uint32)] + [zero] * (ctx.d - 1))
+    neg_planes = modarith.sub_mod(ctx, jnp.stack([zero] * ctx.d), mag_planes)
+    flip = ((sign == 1) & (mags != 0))[None, ...]
+    planes = jnp.where(flip, neg_planes, mag_planes)
+    signed = jnp.where((sign == 1) & (mags != 0), -mags, mags)
+    return planes, signed
+
+
+def sample_planes_global(
+    key: jax.Array,
+    stream: int,
+    b_global,
+    positions,
+    cdf_hi: np.ndarray,
+    cdf_lo: np.ndarray,
+    ctx: ModulusCtx,
+):
+    """Mesh-invariant counter-mode sampling.
+
+    The draw for (stream j, statement b, ring position t) depends ONLY on
+    (key, j, b, t) — never on how statements or coefficients are sharded —
+    so commitment bytes are identical on a single chip and on every
+    (dp, sp) mesh shape (the deterministic-artifacts invariant extended to
+    the device suite; asserted in tests/test_pipeline_sharded.py).
+
+    b_global: (B,) int32 global statement indices. positions: int32 array
+    of any shape (global coefficient positions). Returns
+    (planes (D, B, *positions.shape) uint32, signed (int32, same)).
+    """
+    pos_flat = positions.reshape(-1)
+    kj = jax.random.fold_in(key, stream)
+    kb = jax.vmap(lambda bi: jax.random.fold_in(kj, bi))(b_global)
+
+    def per_statement(kb1):
+        kt = jax.vmap(lambda t: jax.random.fold_in(kb1, t))(pos_flat)
+        return jax.vmap(lambda kk: jax.random.bits(kk, (3,), jnp.uint32))(kt)
+
+    bits = jax.vmap(per_statement)(kb)  # (B, L, 3)
+    shape = (b_global.shape[0],) + positions.shape
+    u_hi = bits[..., 0].reshape(shape)
+    u_lo = bits[..., 1].reshape(shape)
+    sign = (bits[..., 2] & jnp.uint32(1)).reshape(shape)
+    mags = magnitudes_from_bits(
+        u_hi, u_lo, jnp.asarray(cdf_hi), jnp.asarray(cdf_lo)
+    )
+    return _signed_to_planes(mags, sign, shape, ctx)

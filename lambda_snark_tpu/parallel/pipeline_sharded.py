@@ -213,15 +213,23 @@ class ShardedProver:
             b_local = msg.shape[1]
             rows_local = msg.shape[2]
             cc = msg.shape[3]
-            key_local = jax.random.fold_in(
-                jax.random.fold_in(key[0], dp_idx), sp_idx
+            # mesh-invariant counter-mode randomness: the draw for
+            # (stream, GLOBAL statement, GLOBAL coefficient) is independent
+            # of (dp, sp), so commitment bytes equal the single-device
+            # prover's on every mesh shape (test_pipeline_sharded.py)
+            b_idx = (
+                dp_idx * jnp.uint32(b_local)
+                + jnp.arange(b_local, dtype=jnp.uint32)
             )
-            keys = jax.random.split(key_local, k + 1)
+            pos = (
+                sp_idx * jnp.uint32(rows_local * cc)
+                + jnp.arange(rows_local * cc, dtype=jnp.uint32)
+            ).reshape(rows_local, cc)
             acc = None
             s_sgn_all = []
             for j in range(k):
-                s_planes, s_sgn = sampler_jax.sample_planes(
-                    keys[j], (b_local, rows_local, cc), cdf_hi, cdf_lo, p_ctx
+                s_planes, s_sgn = sampler_jax.sample_planes_global(
+                    key[0], j, b_idx, pos, cdf_hi, cdf_lo, p_ctx
                 )
                 s_sgn_all.append(s_sgn)
                 s_tw = modarith.mul_mod(p_ctx, s_planes, psi_r[:, None])
@@ -231,8 +239,8 @@ class ShardedProver:
             c_ring = modarith.mul_mod(
                 p_ctx, _inv_local(fsp_r, acc, tw_r_inv, sp), psi_r_inv[:, None]
             )
-            e_planes, e_sgn = sampler_jax.sample_planes(
-                keys[-1], (b_local, rows_local, cc), cdf_hi, cdf_lo, p_ctx
+            e_planes, e_sgn = sampler_jax.sample_planes_global(
+                key[0], k, b_idx, pos, cdf_hi, cdf_lo, p_ctx
             )
             c_ring = modarith.add_mod(p_ctx, c_ring, e_planes)
             c_ring = modarith.add_mod(p_ctx, c_ring, msg)

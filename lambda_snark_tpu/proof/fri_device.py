@@ -119,11 +119,13 @@ def _tree_from_planes_fn(t: int, n: int):
     return fn
 
 
-def forest_from_levels(levels) -> DevForest:
+def forest_from_levels(levels, root_words=None) -> DevForest:
     """Wrap already-computed device digest levels (leaf level first, root
     level last, lane-major [8, T, rows]) as a DevForest; pulls only the
-    32 B/tree roots."""
-    root_words = np.asarray(levels[-1])[..., 0]  # [8, T]
+    32 B/tree roots (or none at all when the caller already pulled
+    ``root_words`` [8, T] as part of a combined transfer)."""
+    if root_words is None:
+        root_words = np.asarray(levels[-1])[..., 0]  # [8, T]
     roots = [
         bytes(row) for row in _digest_block_bytes(root_words)
     ]
@@ -820,12 +822,16 @@ def _chain_fn(key, n0: int, s: int, k_in: int, d_bound: int, final_len: int,
                 sib = (p >> lvl) ^ 1
                 outs.append(_take_spec("level", levels[lvl], sib))
             pos = p
-        flat = jnp.concatenate([o.reshape(-1) for o in outs])
         if roots_words:
             roots_out = jnp.stack(roots_words)  # (L, 8, S)
         else:
             roots_out = jnp.zeros((0, 8, s), dtype=jnp.uint32)
-        return roots_out, fin_t, ok, flat
+        # ONE flat output array -> one host pull for the whole proof bundle
+        return jnp.concatenate(
+            [roots_out.reshape(-1), fin_t.reshape(-1),
+             ok.astype(jnp.uint32)]
+            + [o.reshape(-1) for o in outs]
+        )
 
     fn = jax.jit(chain)
     _CHAIN_CACHE[key] = fn
@@ -871,18 +877,12 @@ def fri_prove_device_chain(
            offset, omega, counter0)
     fn = _chain_fn(key, n0, s, k_in, d_bound, final_len, params.num_queries,
                    offset, omega, counter0, n_input_levels)
-    roots_w, fin_t, ok, flat = fn(
-        g_planes, input_planes, tuple(input_forest.levels_dev), state, tabs
+    bundle = np.asarray(  # ONE pull: roots + final poly + ok + openings
+        fn(g_planes, input_planes, tuple(input_forest.levels_dev), state,
+           tabs)
     )
-    ok_np = np.asarray(ok)
-    if not bool(ok_np.all()):
-        raise DomainError("FRI final polynomial exceeds its degree bound")
-    roots_np = np.asarray(roots_w)  # (L, 8, S)
-    fin_np = np.asarray(fin_t)      # (4, S, final_len)
-    flat_np = np.asarray(flat)
 
     # reconstruct the static output layout to split the flat array
-    n_layers = roots_np.shape[0]
     nq = params.num_queries
     shapes = [(4, s, k_in, nq), (4, s, k_in, nq)]
     shapes += [(8, s * k_in, nq)] * (n_input_levels - 1)
@@ -898,7 +898,16 @@ def fri_prove_device_chain(
         depth = (n_k // 2).bit_length()  # levels incl. root; path = depth-1
         shapes += [(8, s, nq)] * ((n_k // 2).bit_length() - 1)
         layer_leaves.append(n_k // 2)
-    parts = _split_flat([None] * len(shapes), shapes, flat_np)
+    n_layers = len(layer_leaves)
+    head = n_layers * 8 * s + 4 * s * final_len + s
+    roots_np = bundle[: n_layers * 8 * s].reshape(n_layers, 8, s)
+    fin_np = bundle[
+        n_layers * 8 * s: n_layers * 8 * s + 4 * s * final_len
+    ].reshape(4, s, final_len)
+    ok_np = bundle[head - s: head]
+    if not bool(ok_np.all()):
+        raise DomainError("FRI final polynomial exceeds its degree bound")
+    parts = _split_flat([None] * len(shapes), shapes, bundle[head:])
 
     part_iter = iter(parts)
     # vectorized conversions: digit planes -> uint64 values, digest words ->

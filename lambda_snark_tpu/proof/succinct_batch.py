@@ -439,14 +439,25 @@ def _device_frontend(
 
     s = az.shape[0]
     q = r1cs.modulus
-    planes_dev, q_poly, polys_dev, forest = sd.quotient_lde_device(
-        az, bz, cz, n0, offset
-    )
+    m = r1cs.m
+    # Fuse the Module-LWE commitment into the quotient/LDE dispatch when the
+    # quotient fits the ring and the Gaussian magnitudes fit int8 (12-sigma
+    # cutoff < 127) — the quotient then never visits the host. Fallback:
+    # pull q_poly and commit on host (value-identical either way; pinned in
+    # tests/test_succinct_batch.py).
+    fused_commit = ctx.n >= m and len(ctx.cdf) <= 126
+    if fused_commit:
+        planes_dev, commitments, polys_dev, forest = sd.quotient_lde_device(
+            az, bz, cz, n0, offset, commit_ctx=ctx, seeds=seeds
+        )
+    else:
+        planes_dev, q_poly, polys_dev, forest = sd.quotient_lde_device(
+            az, bz, cz, n0, offset
+        )
+        commitments, _ops = lwe.commit_batch(
+            ctx, [_gl_trim(q_poly[i]) for i in range(s)], list(seeds)
+        )
     roots = [list(forest.roots[4 * i : 4 * i + 4]) for i in range(s)]
-
-    commitments, _ops = lwe.commit_batch(
-        ctx, [_gl_trim(q_poly[i]) for i in range(s)], list(seeds)
-    )
     alphas = np.empty(s, dtype=np.uint64)
     betas = np.empty(s, dtype=np.uint64)
     chals = []

@@ -53,8 +53,12 @@ def _plan_m(m: int) -> ntt_jax.NttPlan:
 _QF_CACHE: dict = {}
 
 
-def _quotient_lde_fn(s: int, m: int, n0: int, offset: int):
-    key = (s, m, n0, offset)
+def _quotient_lde_fn(s: int, m: int, n0: int, offset: int,
+                     commit_shape=None):
+    """``commit_shape = (ring_n, k)`` additionally fuses the Module-LWE
+    commitment of Q into the same dispatch (in-graph ChaCha-parity commit;
+    the quotient never visits the host)."""
+    key = (s, m, n0, offset, commit_shape)
     if key in _QF_CACHE:
         return _QF_CACHE[key]
     import jax
@@ -64,10 +68,23 @@ def _quotient_lde_fn(s: int, m: int, n0: int, offset: int):
     fsp = four_step_plan(n0, P, root_of_order(P, n0))
     neg_half_inv = tuple(int_to_digits(gl_inv(P - 2), _D))
     tw = u64_to_limbs(_gl_powers(offset, n0), _D)  # (4, n0) offset powers
+    if commit_shape is not None:
+        from ..commit.lwe_jax import goldilocks_ring_plan
 
-    def fn(abc_planes):  # (4, S, 3, m) az/bz/cz digit planes
+        ring_n, _k = commit_shape
+        ring_plan = goldilocks_ring_plan(ring_n)
+
+    def fn(abc_words, a_hat_planes=None, s8=None, e8=None):
+        # abc_words: (2, S, 3, m) packed u64 words (lo32, hi32) of az/bz/cz
+        # — half the upload bytes of digit planes; expand in-graph
         from . import fri_device
 
+        m16 = jnp.uint32(0xFFFF)
+        s16 = jnp.uint32(16)
+        lo, hi = abc_words[0], abc_words[1]
+        abc_planes = jnp.stack(
+            [lo & m16, lo >> s16, hi & m16, hi >> s16]
+        )
         polys = ntt_jax.ntt_inverse(plan, abc_planes)  # A_z/B_z/C_z coeffs
         odd = ntt_jax.ntt_forward_negacyclic(plan, polys)  # psi*<omega> coset
         a_odd, b_odd, c_odd = odd[:, :, 0], odd[:, :, 1], odd[:, :, 2]
@@ -92,7 +109,22 @@ def _quotient_lde_fn(s: int, m: int, n0: int, offset: int):
         lde = _four_step_forward(fsp, twisted.reshape(_D, s * 4, n0))
         # Merkle digest levels in the SAME dispatch (no extra barrier)
         levels = fri_device._tree_levels_in_graph(lde, looped=True)
-        return lde, q_poly, all_polys, tuple(levels)
+        if commit_shape is None:
+            return lde, q_poly, all_polys, tuple(levels)
+        from ..commit.lwe_jax import commit_in_graph
+
+        msg = jnp.zeros((_D, s, ring_n), dtype=jnp.uint32)
+        msg = msg.at[..., :m].set(q_poly)
+        c = commit_in_graph(ring_plan, a_hat_planes, msg, s8, e8)
+        # ONE host pull for everything the transcript needs: the packed
+        # c words (2, S, ring_n) and the 4S tree-root words (8, 4S)
+        c_words = jnp.stack(
+            [c[0] | (c[1] << 16), c[2] | (c[3] << 16)]
+        )
+        host_pack = jnp.concatenate(
+            [c_words.reshape(-1), levels[-1][..., 0].reshape(-1)]
+        )
+        return lde, host_pack, all_polys, tuple(levels)
 
     jitted = jax.jit(fn)
     _QF_CACHE[key] = jitted
@@ -100,16 +132,22 @@ def _quotient_lde_fn(s: int, m: int, n0: int, offset: int):
 
 
 def quotient_lde_device(
-    az: np.ndarray, bz: np.ndarray, cz: np.ndarray, n0: int, offset: int
+    az: np.ndarray, bz: np.ndarray, cz: np.ndarray, n0: int, offset: int,
+    commit_ctx=None, seeds=None,
 ) -> Tuple[object, np.ndarray, object]:
     """az/bz/cz: (S, m) uint64 canonical constraint evaluations.
 
-    Returns ``(lde_planes, q_poly, polys_dev, forest)``:
+    Returns ``(lde_planes, q_or_commits, polys_dev, forest)``:
     - ``lde_planes``: device (4, 4*S, n0) codeword planes in statement-major
       (A, B, C, Q) order — the exact layout ``lde_batch_device_planes``
       produced for ``fri_device.commit_planes_dev``,
-    - ``q_poly``: host (S, m) uint64 quotient coefficients (for the lattice
-      commitment), bit-identical to the host quotient,
+    - ``q_or_commits``: without ``commit_ctx``, the host (S, m) uint64
+      quotient coefficients (for a host lattice commitment). With
+      ``commit_ctx`` (an ``LweContext``) + ``seeds``, the Module-LWE
+      commitment is FUSED into the same dispatch (randomness from the
+      ChaCha host-parity suite, ring products on device) and this is the
+      list of ``Commitment``s instead — the quotient never visits the host
+      and the pull halves (c words instead of q digit planes),
     - ``polys_dev``: device (4, S, 4, m) coefficient planes for
       ``eval_device``,
     - ``forest``: DevForest of the 4*S Merkle trees (levels computed in the
@@ -121,12 +159,42 @@ def quotient_lde_device(
 
     s, m = az.shape
     abc = np.stack([az, bz, cz], axis=1)  # (S, 3, m)
-    planes = jnp.asarray(u64_to_limbs(abc, _D))
-    lde, q_poly_planes, polys_dev, levels = _quotient_lde_fn(
-        s, m, n0, offset
-    )(planes)
-    q_poly = from_limbs_u64(np.asarray(q_poly_planes))
-    return lde, q_poly, polys_dev, fri_device.forest_from_levels(levels)
+    words = jnp.asarray(
+        np.stack(
+            [
+                (abc & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (abc >> np.uint64(32)).astype(np.uint32),
+            ]
+        )
+    )
+    if commit_ctx is None:
+        lde, q_poly_planes, polys_dev, levels = _quotient_lde_fn(
+            s, m, n0, offset
+        )(words)
+        q_poly = from_limbs_u64(np.asarray(q_poly_planes))
+        return lde, q_poly, polys_dev, fri_device.forest_from_levels(levels)
+
+    from ..commit import lwe as lwe_mod
+    from ..commit.lwe_jax import a_hat_planes_for
+
+    ss, es = lwe_mod.randomness_batch(commit_ctx, list(seeds))
+    fn = _quotient_lde_fn(
+        s, m, n0, offset, commit_shape=(commit_ctx.n, commit_ctx.k)
+    )
+    lde, host_pack, polys_dev, levels = fn(
+        words,
+        jnp.asarray(a_hat_planes_for(commit_ctx)),
+        jnp.asarray(ss.astype(np.int8)),
+        jnp.asarray(es.astype(np.int8)),
+    )
+    hp = np.asarray(host_pack)  # one pull: c words + root words
+    n_ring = commit_ctx.n
+    cw = hp[: 2 * s * n_ring].reshape(2, s, n_ring)
+    root_words = hp[2 * s * n_ring:].reshape(8, 4 * s)
+    c_u64 = cw[0].astype(np.uint64) | (cw[1].astype(np.uint64) << np.uint64(32))
+    commitments = [lwe_mod.Commitment(c_u64[i]) for i in range(s)]
+    forest = fri_device.forest_from_levels(levels, root_words=root_words)
+    return lde, commitments, polys_dev, forest
 
 
 _EVAL_CACHE: dict = {}

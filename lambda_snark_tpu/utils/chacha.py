@@ -193,3 +193,43 @@ class ChaCha20Rng:
         tests/test_chacha.py)."""
         w = self._keystream_u32(2 * count).astype(np.uint64)
         return w[0::2] | (w[1::2] << np.uint64(32))
+
+
+def chacha20_blocks_keys_np(
+    keys_words: np.ndarray, counter: int, nonce_words: List[int], nblocks: int
+) -> np.ndarray:
+    """``nblocks`` consecutive blocks for MANY keys at once.
+
+    keys_words: uint32 [K, 8]. Returns uint32 [K, nblocks, 16]; row (k, b)
+    equals ``chacha20_block(keys[k], counter+b, nonce)`` word-for-word
+    (pinned in tests/test_chacha.py) — the batched-randomness fast path for
+    per-statement commitment streams."""
+    keys = np.asarray(keys_words, dtype=np.uint32)
+    kn = keys.shape[0]
+    ctrs = np.arange(nblocks, dtype=np.uint64) + np.uint64(counter)
+    state = np.empty((16, kn, nblocks), dtype=np.uint32)
+    state[0], state[1], state[2], state[3] = (
+        0x61707865, 0x3320646E, 0x79622D32, 0x6B206574,
+    )
+    for i in range(8):
+        state[4 + i] = keys[:, i, None]
+    state[12] = (ctrs & np.uint64(M32)).astype(np.uint32)[None, :]
+    state[13] = (ctrs >> np.uint64(32)).astype(np.uint32)[None, :]
+    state[14] = nonce_words[0]
+    state[15] = nonce_words[1]
+    x = state.copy()
+    old = np.seterr(over="ignore")
+    try:
+        for _ in range(10):
+            _quarter_np(x, 0, 4, 8, 12)
+            _quarter_np(x, 1, 5, 9, 13)
+            _quarter_np(x, 2, 6, 10, 14)
+            _quarter_np(x, 3, 7, 11, 15)
+            _quarter_np(x, 0, 5, 10, 15)
+            _quarter_np(x, 1, 6, 11, 12)
+            _quarter_np(x, 2, 7, 8, 13)
+            _quarter_np(x, 3, 4, 9, 14)
+        x += state
+    finally:
+        np.seterr(**old)
+    return np.moveaxis(x, 0, -1)  # (K, nblocks, 16)

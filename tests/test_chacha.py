@@ -97,3 +97,27 @@ def test_keystream_partial_buffer_drain():
     for x in v:
         got.extend([int(x) & 0xFFFFFFFF, int(x) >> 32])
     assert got == stream[: len(got)]
+
+
+def test_chacha20_blocks_keys_matches_scalar():
+    # multi-key block generator: row (k, b) == scalar block for key k
+    import numpy as np
+
+    from lambda_snark_tpu.utils.chacha import chacha20_blocks_keys_np
+
+    keys = []
+    for s in (1, 2, 0xDEADBEEF):
+        kb = seed_from_u64(s)
+        keys.append(
+            [int.from_bytes(kb[i : i + 4], "little") for i in range(0, 32, 4)]
+        )
+    for counter in (0, (1 << 32) - 1):
+        out = chacha20_blocks_keys_np(
+            np.array(keys, dtype=np.uint32), counter, [7, 9], 3
+        )
+        assert out.shape == (3, 3, 16)
+        for ki, k in enumerate(keys):
+            for b in range(3):
+                assert [int(w) for w in out[ki, b]] == chacha20_block(
+                    k, counter + b, [7, 9]
+                ), (ki, b)

@@ -146,3 +146,58 @@ def test_sampler_zero_never_negative():
     # two's-complement-free check: no "-0" possible with ints; distribution
     # must contain both signs
     assert (samples > 0).any() and (samples < 0).any()
+
+
+def test_randomness_batch_matches_per_seed(ctx):
+    """Vectorized multi-key randomness is draw-for-draw identical to the
+    scalar per-seed derivation (the in-graph fused commit depends on it)."""
+    from lambda_snark_tpu.commit.lwe import randomness_batch
+
+    seeds = [0, 5, 17, (1 << 64) - 1]
+    ss, es = randomness_batch(ctx, seeds)
+    for i, seed in enumerate(seeds):
+        s1, e1 = ctx._randomness(seed)
+        assert (ss[i] == s1).all(), seed
+        assert (es[i] == e1).all(), seed
+
+
+def test_commit_in_graph_matches_host():
+    """The fused in-graph device commit is bit-identical to the host
+    ChaCha-suite commit_batch (exact ring arithmetic on the same draws)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lambda_snark_tpu import Params, Profile, SecurityLevel
+    from lambda_snark_tpu.commit import lwe
+    from lambda_snark_tpu.commit.lwe_jax import (
+        a_hat_planes_for,
+        commit_in_graph,
+        goldilocks_ring_plan,
+    )
+    from lambda_snark_tpu.core.params import NTT_MODULUS
+    from lambda_snark_tpu.ops.limb import from_limbs_u64, u64_to_limbs
+
+    n, k, s_count = 128, 2, 3
+    gctx = lwe.LweContext(
+        Params(
+            SecurityLevel.BITS128, Profile.ring_b(n, k, NTT_MODULUS, 3.19)
+        ),
+        context_seed=3,
+    )
+    rng = np.random.default_rng(0)
+    msgs = rng.integers(0, NTT_MODULUS, size=(s_count, n), dtype=np.uint64)
+    seeds = [5, 17, 99]
+    want, _ = lwe.commit_batch(gctx, [msgs[i] for i in range(s_count)], seeds)
+    ss, es = lwe.randomness_batch(gctx, seeds)
+    plan = goldilocks_ring_plan(n)
+    ah = a_hat_planes_for(gctx)
+    c_planes = jax.jit(
+        lambda m4, s8, e8: commit_in_graph(plan, ah, m4, s8, e8)
+    )(
+        jnp.asarray(u64_to_limbs(msgs, 4)),
+        jnp.asarray(ss.astype(np.int8)),
+        jnp.asarray(es.astype(np.int8)),
+    )
+    got = from_limbs_u64(np.asarray(c_planes))
+    for i in range(s_count):
+        assert (got[i] == want[i].words).all(), i

@@ -110,3 +110,26 @@ def test_sharded_mesh_size_independent(host_ctx):
         outs.append(sp.coeff_layout_to_flat(np.asarray(out[0])))
     assert np.array_equal(outs[0], outs[1])
     assert np.array_equal(outs[1], outs[2])
+
+
+def test_commitment_mesh_invariant(setup, host_ctx):
+    """Counter-mode randomness makes the commitment bytes independent of
+    the mesh shape: the (2, 4) run equals a (1, 1) single-device-mesh run
+    AND the unsharded `prove_stage_batch` pipeline bit-for-bit."""
+    sp, r1cs, witnesses, (a_e, b_e, c_e), out, _ = setup
+    c_24 = sp.coeff_layout_to_flat(np.asarray(out[4]))
+    mesh1 = make_mesh([1, 1], ["dp", "sp"])
+    sp1 = ShardedProver(M, Q, host_ctx, mesh1)
+    out1 = sp1.run(a_e, b_e, c_e, seed=17)
+    c_11 = sp1.coeff_layout_to_flat(np.asarray(out1[4]))
+    assert np.array_equal(c_24, c_11)
+    # unsharded single-device pipeline with the same key derivation
+    from lambda_snark_tpu.pipeline import prove_stage_batch_jit
+
+    dctx = DeviceCommitContext.from_host(host_ctx)
+    pp = ProvePlan.create(M, Q, dctx)
+    key = jax.random.PRNGKey(17 & 0x7FFFFFFF)
+    _q, _a, _b, _c, c_single, _v = prove_stage_batch_jit(
+        pp, jnp.asarray(a_e), jnp.asarray(b_e), jnp.asarray(c_e), key
+    )
+    assert np.array_equal(c_24, np.asarray(c_single))
