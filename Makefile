@@ -3,7 +3,7 @@
 
 PY ?= python3
 
-.PHONY: test test-fast native bench dudect docs lint clean fuzz
+.PHONY: test test-fast test-slow native bench dudect docs lint clean fuzz
 
 fuzz:
 	$(PY) -m lambda_snark_tpu fuzz --iterations 20000
@@ -11,8 +11,14 @@ fuzz:
 test:
 	$(PY) -m pytest tests/ -q
 
+# two-tier suite (tests/conftest.py enumerates the slow modules):
+# fast = host-path tests, ~20 s; slow = XLA-compile-bound device paths,
+# ~4 min warm / ~20 min cold (persistent cache under .jax_compile_cache_tests)
 test-fast:
-	$(PY) -m pytest tests/ -q -x -k "not sharded and not pipeline and not large"
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-slow:
+	$(PY) -m pytest tests/ -q -m slow
 
 native:
 	cmake -S native -B native/build -G Ninja

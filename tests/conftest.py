@@ -46,3 +46,47 @@ def tv_dir():
     if not os.path.isdir(TEST_VECTOR_DIR):
         pytest.skip("reference test-vectors not available")
     return TEST_VECTOR_DIR
+
+
+# --- two-tier suite: fast (host-path, seconds) vs slow (XLA-compile-bound) --
+#
+# The slow tier is enumerated by module: everything that jit-compiles real
+# device graphs (sharded meshes, MXU/Pallas kernels, succinct/FRI device
+# pipelines). `make test-fast` runs `-m "not slow"` (~20 s warm);
+# `make test-slow` runs the rest (~4 min warm, ~20 min on a cold compile
+# cache); `make test` runs both.
+
+SLOW_MODULES = {
+    "test_aggregate.py",
+    "test_fri_device.py",
+    "test_graft_entry.py",
+    "test_keccak.py",
+    "test_limb_jax.py",
+    "test_ntt_large.py",
+    "test_ntt_mxu.py",
+    "test_ntt_mxu_q45.py",
+    "test_ntt_pallas.py",
+    "test_pipeline.py",
+    "test_pipeline_sharded.py",
+    "test_quotient_pallas.py",
+    "test_ring_mxu.py",
+    "test_ring_pallas.py",
+    "test_service.py",
+    "test_sharded.py",
+    "test_stream.py",
+    "test_succinct.py",
+    "test_succinct_batch.py",
+    "test_zk.py",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: XLA-compile-bound device-path tests"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
