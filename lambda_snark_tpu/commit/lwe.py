@@ -334,6 +334,20 @@ def linear_combine(
     return combined, combined_opening
 
 
+def randomness_keys(ctx: LweContext, seeds: Sequence[int]) -> np.ndarray:
+    """(S, 8) uint32 ChaCha key words for the per-seed randomness streams
+    (the SHA3 key derivation of ``_randomness``)."""
+    keys = np.empty((len(seeds), 8), dtype=np.uint32)
+    for i, seed in enumerate(seeds):
+        key = hashlib.sha3_256(
+            _DOMAIN_RAND
+            + ctx.context_seed.to_bytes(8, "little")
+            + (int(seed) & ((1 << 64) - 1)).to_bytes(8, "little")
+        ).digest()
+        keys[i] = np.frombuffer(key, dtype="<u4")
+    return keys
+
+
 def randomness_batch(ctx: LweContext, seeds: Sequence[int]):
     """Vectorized ``ctx._randomness`` over many seeds.
 
@@ -347,14 +361,7 @@ def randomness_batch(ctx: LweContext, seeds: Sequence[int]):
 
     s_count = len(seeds)
     n, k = ctx.n, ctx.k
-    keys = np.empty((s_count, 8), dtype=np.uint32)
-    for i, seed in enumerate(seeds):
-        key = hashlib.sha3_256(
-            _DOMAIN_RAND
-            + ctx.context_seed.to_bytes(8, "little")
-            + (int(seed) & ((1 << 64) - 1)).to_bytes(8, "little")
-        ).digest()
-        keys[i] = np.frombuffer(key, dtype="<u4")
+    keys = randomness_keys(ctx, seeds)
     words_per_row = 4 * n  # 2n u64 draws
     total_words = (k + 1) * words_per_row
     assert total_words % 16 == 0

@@ -148,9 +148,33 @@ def commit_in_graph(ring_plan: NttPlan, a_hat_planes, msg_planes, s8, e8):
     (any correct negacyclic NTT computes the same ring product).
     Returns (D, S, n) planes of c.
     """
-    ctx = ring_plan.ctx
     s_ring = ring_planes_from_signed(s8)  # (D, S, k, n)
     e_ring = ring_planes_from_signed(e8)  # (D, S, n)
+    return commit_in_graph_planes(
+        ring_plan, a_hat_planes, msg_planes, s_ring, e_ring
+    )
+
+
+def commit_in_graph_chacha(
+    ring_plan: NttPlan, a_hat_planes, msg_planes, key_words, k: int,
+    cdf_hi, cdf_lo,
+):
+    """``commit_in_graph`` with the ChaCha host-parity randomness ALSO
+    generated in-graph (``sampler_jax.sample_chacha_planes_in_graph``) —
+    the dispatch's only randomness input is the (S, 8) uint32 key words."""
+    from ..ops import sampler_jax
+
+    s_ring, e_ring = sampler_jax.sample_chacha_planes_in_graph(
+        key_words, k, ring_plan.m, cdf_hi, cdf_lo, ring_plan.ctx
+    )
+    return commit_in_graph_planes(
+        ring_plan, a_hat_planes, msg_planes, s_ring, e_ring
+    )
+
+
+def commit_in_graph_planes(ring_plan: NttPlan, a_hat_planes, msg_planes,
+                           s_ring, e_ring):
+    ctx = ring_plan.ctx
     s_hat = ntt_forward_negacyclic(ring_plan, s_ring)
     # a_hat_planes (k, D, n) -> (D, 1, k, n): broadcast over the S axis
     a_b = jnp.moveaxis(jnp.asarray(a_hat_planes), 0, 1)[:, None]

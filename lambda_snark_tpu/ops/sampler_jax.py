@@ -117,3 +117,90 @@ def sample_planes_global(
         u_hi, u_lo, jnp.asarray(cdf_hi), jnp.asarray(cdf_lo)
     )
     return _signed_to_planes(mags, sign, shape, ctx)
+
+
+# --- in-graph ChaCha host-parity suite ---------------------------------------
+#
+# The host commitment suite draws its Gaussian randomness from per-seed
+# ChaCha20 streams (``utils.chacha``). Here the SAME streams generate on
+# device — the dispatch uploads only the 32-byte keys — with draw-for-draw
+# parity (pinned in tests/test_commitment.py): ChaCha20 is pure uint32
+# arithmetic, ideal VPU work.
+
+
+def _chacha_quarter(x, a, b, c, d):
+    x[a] = x[a] + x[b]
+    x[d] = x[d] ^ x[a]
+    x[d] = (x[d] << jnp.uint32(16)) | (x[d] >> jnp.uint32(16))
+    x[c] = x[c] + x[d]
+    x[b] = x[b] ^ x[c]
+    x[b] = (x[b] << jnp.uint32(12)) | (x[b] >> jnp.uint32(20))
+    x[a] = x[a] + x[b]
+    x[d] = x[d] ^ x[a]
+    x[d] = (x[d] << jnp.uint32(8)) | (x[d] >> jnp.uint32(24))
+    x[c] = x[c] + x[d]
+    x[b] = x[b] ^ x[c]
+    x[b] = (x[b] << jnp.uint32(7)) | (x[b] >> jnp.uint32(25))
+
+
+def chacha20_blocks_in_graph(key_words, nblocks: int):
+    """ChaCha20 keystream blocks on device (DJB variant, zero nonce,
+    counters 0..nblocks-1 — the ``ChaCha20Rng`` stream layout).
+
+    key_words: (S, 8) uint32. Returns (S, nblocks, 16) uint32, row (s, b)
+    identical to ``utils.chacha.chacha20_block(key_s, b, [0, 0])``.
+    """
+    s = key_words.shape[0]
+    ctr = jnp.arange(nblocks, dtype=jnp.uint32)
+    state = [None] * 16
+    consts = (0x61707865, 0x3320646E, 0x79622D32, 0x6B206574)
+    zero = jnp.zeros((s, nblocks), dtype=jnp.uint32)
+    for i in range(4):
+        state[i] = zero + jnp.uint32(consts[i])
+    for i in range(8):
+        state[4 + i] = jnp.broadcast_to(
+            key_words[:, i, None], (s, nblocks)
+        )
+    state[12] = jnp.broadcast_to(ctr[None, :], (s, nblocks))
+    state[13] = zero  # 64-bit counter high word (streams stay < 2^32 blocks)
+    state[14] = zero
+    state[15] = zero
+    x = list(state)
+    for _ in range(10):
+        _chacha_quarter(x, 0, 4, 8, 12)
+        _chacha_quarter(x, 1, 5, 9, 13)
+        _chacha_quarter(x, 2, 6, 10, 14)
+        _chacha_quarter(x, 3, 7, 11, 15)
+        _chacha_quarter(x, 0, 5, 10, 15)
+        _chacha_quarter(x, 1, 6, 11, 12)
+        _chacha_quarter(x, 2, 7, 8, 13)
+        _chacha_quarter(x, 3, 4, 9, 14)
+    words = [xi + si for xi, si in zip(x, state)]
+    return jnp.stack(words, axis=-1)  # (S, nblocks, 16)
+
+
+def sample_chacha_planes_in_graph(
+    key_words, k: int, n: int, cdf_hi, cdf_lo, ctx: ModulusCtx
+):
+    """The (s_1..s_k, e) Gaussian draws of ``lwe.randomness_batch`` computed
+    in-graph: per statement, one ChaCha20 stream supplies (k+1) rows of 2n
+    u64 draws (value, sign interleaved) exactly like the host suite.
+
+    Returns (s_planes (D, S, k, n), e_planes (D, S, n)) — canonical Z_p
+    digit planes, bit-identical to the host ``_randomness`` embedding.
+    """
+    s = key_words.shape[0]
+    total_words = (k + 1) * 4 * n
+    assert total_words % 16 == 0
+    blocks = chacha20_blocks_in_graph(key_words, total_words // 16)
+    w = blocks.reshape(s, k + 1, 4 * n)
+    # u64 draw j = words[2j] | words[2j+1] << 32; draws alternate
+    # (value, sign): value j -> words (4j, 4j+1); sign j -> word 4j+2 bit 0
+    u_lo = w[..., 0::4]
+    u_hi = w[..., 1::4]
+    sign = w[..., 2::4] & jnp.uint32(1)
+    mags = magnitudes_from_bits(
+        u_hi, u_lo, jnp.asarray(cdf_hi), jnp.asarray(cdf_lo)
+    )  # (S, k+1, n)
+    planes, _signed = _signed_to_planes(mags, sign, (s, k + 1, n), ctx)
+    return planes[:, :, :k], planes[:, :, k]

@@ -441,11 +441,11 @@ def _device_frontend(
     q = r1cs.modulus
     m = r1cs.m
     # Fuse the Module-LWE commitment into the quotient/LDE dispatch when the
-    # quotient fits the ring and the Gaussian magnitudes fit int8 (12-sigma
-    # cutoff < 127) — the quotient then never visits the host. Fallback:
-    # pull q_poly and commit on host (value-identical either way; pinned in
-    # tests/test_succinct_batch.py).
-    fused_commit = ctx.n >= m and len(ctx.cdf) <= 126
+    # quotient fits the ring: the ChaCha randomness streams generate
+    # in-graph (only the 32-byte keys upload) and the quotient never visits
+    # the host. Fallback: pull q_poly and commit on host (value-identical
+    # either way; pinned in tests/test_succinct_batch.py).
+    fused_commit = ctx.n >= m
     if fused_commit:
         planes_dev, commitments, polys_dev, forest = sd.quotient_lde_device(
             az, bz, cz, n0, offset, commit_ctx=ctx, seeds=seeds

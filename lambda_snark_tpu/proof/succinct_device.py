@@ -74,7 +74,8 @@ def _quotient_lde_fn(s: int, m: int, n0: int, offset: int,
         ring_n, _k = commit_shape
         ring_plan = goldilocks_ring_plan(ring_n)
 
-    def fn(abc_words, a_hat_planes=None, s8=None, e8=None):
+    def fn(abc_words, a_hat_planes=None, key_words=None, cdf_hi=None,
+           cdf_lo=None):
         # abc_words: (2, S, 3, m) packed u64 words (lo32, hi32) of az/bz/cz
         # — half the upload bytes of digit planes; expand in-graph
         from . import fri_device
@@ -111,11 +112,13 @@ def _quotient_lde_fn(s: int, m: int, n0: int, offset: int,
         levels = fri_device._tree_levels_in_graph(lde, looped=True)
         if commit_shape is None:
             return lde, q_poly, all_polys, tuple(levels)
-        from ..commit.lwe_jax import commit_in_graph
+        from ..commit.lwe_jax import commit_in_graph_chacha
 
         msg = jnp.zeros((_D, s, ring_n), dtype=jnp.uint32)
         msg = msg.at[..., :m].set(q_poly)
-        c = commit_in_graph(ring_plan, a_hat_planes, msg, s8, e8)
+        c = commit_in_graph_chacha(
+            ring_plan, a_hat_planes, msg, key_words, _k, cdf_hi, cdf_lo
+        )
         # ONE host pull for everything the transcript needs: the packed
         # c words (2, S, ring_n) and the 4S tree-root words (8, 4S)
         c_words = jnp.stack(
@@ -176,16 +179,19 @@ def quotient_lde_device(
 
     from ..commit import lwe as lwe_mod
     from ..commit.lwe_jax import a_hat_planes_for
+    from ..ops import sampler_jax
 
-    ss, es = lwe_mod.randomness_batch(commit_ctx, list(seeds))
+    keys = lwe_mod.randomness_keys(commit_ctx, list(seeds))
+    cdf_hi, cdf_lo = sampler_jax.cdf_split(commit_ctx.cdf)
     fn = _quotient_lde_fn(
         s, m, n0, offset, commit_shape=(commit_ctx.n, commit_ctx.k)
     )
     lde, host_pack, polys_dev, levels = fn(
         words,
         jnp.asarray(a_hat_planes_for(commit_ctx)),
-        jnp.asarray(ss.astype(np.int8)),
-        jnp.asarray(es.astype(np.int8)),
+        jnp.asarray(keys),
+        jnp.asarray(cdf_hi),
+        jnp.asarray(cdf_lo),
     )
     hp = np.asarray(host_pack)  # one pull: c words + root words
     n_ring = commit_ctx.n

@@ -201,3 +201,41 @@ def test_commit_in_graph_matches_host():
     got = from_limbs_u64(np.asarray(c_planes))
     for i in range(s_count):
         assert (got[i] == want[i].words).all(), i
+
+
+def test_in_graph_chacha_sampling_matches_host():
+    """Device-generated ChaCha randomness streams (keys-only upload) are
+    draw-for-draw identical to the host suite's ``randomness_batch``."""
+    import jax
+    import jax.numpy as jnp
+
+    from lambda_snark_tpu import Params, Profile, SecurityLevel
+    from lambda_snark_tpu.commit.lwe import (
+        LweContext,
+        _signed_to_ring,
+        randomness_batch,
+        randomness_keys,
+    )
+    from lambda_snark_tpu.core.params import NTT_MODULUS
+    from lambda_snark_tpu.ops import sampler_jax
+    from lambda_snark_tpu.ops.limb import from_limbs_u64, modulus_ctx
+
+    n, k = 128, 2
+    gctx = LweContext(
+        Params(
+            SecurityLevel.BITS128, Profile.ring_b(n, k, NTT_MODULUS, 3.19)
+        ),
+        context_seed=3,
+    )
+    seeds = [5, 17, (1 << 64) - 1]
+    keys = randomness_keys(gctx, seeds)
+    cdf_hi, cdf_lo = sampler_jax.cdf_split(gctx.cdf)
+    mctx = modulus_ctx(NTT_MODULUS)
+    sp, ep = jax.jit(
+        lambda kw: sampler_jax.sample_chacha_planes_in_graph(
+            kw, k, n, cdf_hi, cdf_lo, mctx
+        )
+    )(jnp.asarray(keys))
+    ss, es = randomness_batch(gctx, seeds)
+    assert (from_limbs_u64(np.asarray(sp)) == _signed_to_ring(ss)).all()
+    assert (from_limbs_u64(np.asarray(ep)) == _signed_to_ring(es)).all()
