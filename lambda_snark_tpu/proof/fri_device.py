@@ -930,12 +930,27 @@ def fri_prove_device_chain(
         layer_parts.append((v_lo, v_hi, sibs))
 
     fin_u64 = from_limbs_u64(fin_np)  # (S, final_len)
-    finals: List[List[int]] = [
-        [int(v) for v in fin_u64[si]] for si in range(s)
-    ]
+    finals = fin_u64.tolist()  # (S, final_len) Python ints, one C pass
     roots_bytes = _digest_block_bytes(
         np.moveaxis(roots_np, 0, 1)  # (8, L, S)
     ) if n_layers else np.zeros((0, s, 32), dtype=np.uint8)  # (L, S, 32)
+
+    # bulk conversions: .tolist() turns every opened value into Python ints
+    # in one C pass, and each sibling level becomes one contiguous bytes
+    # object sliced per path element (bytes slicing is far cheaper than a
+    # numpy .tobytes() per element) — the per-element loops dominated the
+    # batched reconstruction
+    in_lo_l = in_lo.tolist()  # [S][K][Q]
+    in_hi_l = in_hi.tolist()
+    in_sib_flat = [np.ascontiguousarray(sib).tobytes() for sib in in_sibs]
+    layer_parts_l = [
+        (
+            v_lo.tolist(),
+            v_hi.tolist(),
+            [np.ascontiguousarray(sib).tobytes() for sib in sibs],
+        )
+        for (v_lo, v_hi, sibs) in layer_parts
+    ]
 
     proofs: List[FriProof] = []
     for si in range(s):
@@ -944,23 +959,25 @@ def fri_prove_device_chain(
             input_openings = []
             for k in range(k_in):
                 tree_idx = si * k_in + k
+                off0 = (tree_idx * nq + qi) * 32
                 path = [
-                    sib[tree_idx, qi].tobytes() for sib in in_sibs
+                    flat[off0:off0 + 32] for flat in in_sib_flat
                 ]
                 input_openings.append(
                     LayerOpening(
-                        int(in_lo[si, k, qi]),
-                        int(in_hi[si, k, qi]),
+                        in_lo_l[si][k][qi],
+                        in_hi_l[si][k][qi],
                         tuple(path),
                     )
                 )
             layer_openings = []
-            for (v_lo, v_hi, sibs) in layer_parts:
-                path = [sib[si, qi].tobytes() for sib in sibs]
+            off1 = (si * nq + qi) * 32
+            for (v_lo, v_hi, sib_flats) in layer_parts_l:
+                path = [flat[off1:off1 + 32] for flat in sib_flats]
                 layer_openings.append(
                     LayerOpening(
-                        int(v_lo[si, qi]),
-                        int(v_hi[si, qi]),
+                        v_lo[si][qi],
+                        v_hi[si][qi],
                         tuple(path),
                     )
                 )
