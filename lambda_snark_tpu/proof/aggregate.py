@@ -263,8 +263,11 @@ def prove_r1cs_succinct_aggregate(
             "circuit (the batched front-end's field)"
         )
 
+    from . import fri as fri_mod
+
     fe = _gl_batch_frontend(
-        r1cs, witnesses, ctx, seeds, zk, params, blinding_seeds, device_lde
+        r1cs, witnesses, ctx, seeds, zk, params, blinding_seeds, device_lde,
+        device_fri=device_lde and fri_mod.DEVICE_HASH and not zk,
     )
     q, n0, omega_n, offset = fe.q, fe.n0, fe.omega_n, fe.offset
 
@@ -277,6 +280,54 @@ def prove_r1cs_succinct_aggregate(
         ],
     )
     lam = tr.challenge_field(q, b"fri-lambda")
+
+    if getattr(fe, "forest", None) is not None:
+        # device-resident path: ONE cross-statement lambda ladder feeds the
+        # batched DEEP combine, statements sum into one codeword, and the
+        # shared FRI runs as the single-dispatch device chain over all 4S
+        # input oracles (s-major tree order = the `inputs` order below).
+        # Bytes identical to the host path (exact mod-p arithmetic; pinned
+        # in tests/test_aggregate.py).
+        from . import fri_device
+
+        lam_a = np.empty((s, 4), dtype=np.uint64)
+        lam_b = np.empty((s, 4), dtype=np.uint64)
+        lam_pow = 1
+        for i in range(s):
+            for k in range(4):
+                lam2 = lam_pow * lam % q
+                lam_a[i, k] = lam_pow
+                lam_b[i, k] = lam2
+                lam_pow = lam2 * lam % q
+        input_planes = fe.planes_dev.reshape(4, s, 4, n0)
+        g_s = fri_device.deep_combine_device(
+            input_planes, fe.alphas, fe.betas, np.zeros(s, dtype=np.uint64),
+            fe.evals, offset, omega_n, lam_tables=(lam_a, lam_b),
+        )
+        g_comb = fri_device.sum_statements_device(g_s)  # (4, 1, n0)
+        input_r = fe.planes_dev.reshape(4, 1, 4 * s, n0)
+        fri_proof = fri_device.fri_prove_device(
+            g_comb, input_r, fe.forest, offset, omega_n, q, params, [tr]
+        )[0]
+        return AggregatedProofR1CS(
+            statements=tuple(
+                StatementOpening(
+                    commitment_q=fe.commitments[i],
+                    input_roots=tuple(fe.roots[i]),
+                    challenge_alpha=fe.chals[i][0],
+                    challenge_beta=fe.chals[i][1],
+                    evals=tuple(int(v) for v in fe.evals[i]),
+                )
+                for i in range(s)
+            ),
+            fri=fri_proof,
+            m=fe.m,
+            mask_len=fe.mask_len,
+            log_blowup=params.log_blowup,
+            num_queries=params.num_queries,
+            final_len=params.final_len,
+            modulus=q,
+        )
 
     # combined DEEP quotient over all statements and polynomial kinds
     xs = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))

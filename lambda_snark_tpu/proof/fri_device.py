@@ -311,6 +311,7 @@ def deep_combine_device(
     evals: np.ndarray,
     offset: int,
     omega: int,
+    lam_tables=None,
 ):
     """Batched DEEP quotient on device (no codeword pull, no g upload).
 
@@ -322,18 +323,23 @@ def deep_combine_device(
     """
     _four, s, k_in, n0 = input_planes.shape
     xs = _coset_planes(n0, offset, omega)
-    # lam powers: lam_a_k = lam^(3k?) — mirror the host loop exactly:
-    # lam_pow_0 = 1; per k: lam2 = lam_pow * lam; next lam_pow = lam2 * lam.
-    lam_a = np.empty((s, k_in), dtype=np.uint64)
-    lam_b = np.empty((s, k_in), dtype=np.uint64)
-    for si in range(s):
-        lam = int(lams[si])
-        lam_pow = 1
-        for k in range(k_in):
-            lam2 = lam_pow * lam % P
-            lam_a[si, k] = lam_pow
-            lam_b[si, k] = lam2
-            lam_pow = lam2 * lam % P
+    if lam_tables is not None:
+        # caller-supplied (S, K) power tables (the aggregate prover's
+        # cross-statement lambda ladder)
+        lam_a, lam_b = lam_tables
+    else:
+        # lam powers — mirror the host loop exactly: lam_pow_0 = 1;
+        # per k: lam2 = lam_pow * lam; next lam_pow = lam2 * lam.
+        lam_a = np.empty((s, k_in), dtype=np.uint64)
+        lam_b = np.empty((s, k_in), dtype=np.uint64)
+        for si in range(s):
+            lam = int(lams[si])
+            lam_pow = 1
+            for k in range(k_in):
+                lam2 = lam_pow * lam % P
+                lam_a[si, k] = lam_pow
+                lam_b[si, k] = lam2
+                lam_pow = lam2 * lam % P
     ev_a = np.ascontiguousarray(evals[:, :k_in])
     ev_b = np.ascontiguousarray(evals[:, k_in:])
 
@@ -985,3 +991,23 @@ def fri_prove_device_chain(
         roots = tuple(roots_bytes[li, si].tobytes() for li in range(n_layers))
         proofs.append(FriProof(roots, tuple(finals[si]), tuple(queries)))
     return proofs
+
+
+_SUM_CACHE: dict = {}
+
+
+def sum_statements_device(g_planes):
+    """(4, S, n) per-statement combined quotients -> (4, 1, n) aggregate sum
+    (exact mod-p addition; order-independent). One jitted dispatch."""
+    shape = tuple(g_planes.shape)
+    if shape not in _SUM_CACHE:
+        import jax
+
+        def f(g):
+            acc = g[:, 0]
+            for i in range(1, shape[1]):
+                acc = modarith.add_mod(_CTX, acc, g[:, i])
+            return modarith.cpu_fusion_barrier(acc)[:, None]
+
+        _SUM_CACHE[shape] = jax.jit(f)
+    return _SUM_CACHE[shape](g_planes)

@@ -174,3 +174,23 @@ def test_aggregate_single_statement(ctx_gl):
         r1cs, [w], ctx_gl, [9], fri_params=FAST, device_lde=False
     )
     assert verify_r1cs_succinct_aggregate(proof, [[1]], r1cs, min_params=FAST)
+
+
+def test_aggregate_device_host_same_bytes(ctx_gl):
+    """The device-resident aggregate path (batched DEEP + statement sum +
+    single-dispatch shared FRI) emits bytes identical to the host path."""
+    r1cs = mult_circuit(16, GL)
+    witnesses = [mult_witness(16, GL, seed=80 + i) for i in range(3)]
+    seeds = [5, 6, 7]
+
+    dev = prove_r1cs_succinct_aggregate(
+        r1cs, witnesses, ctx_gl, seeds, fri_params=FAST, device_lde=True
+    )
+    host = prove_r1cs_succinct_aggregate(
+        r1cs, witnesses, ctx_gl, seeds, fri_params=FAST, device_lde=False
+    )
+    assert dev.to_bytes() == host.to_bytes()
+    assert verify_r1cs_succinct_aggregate(
+        dev, [r1cs.public_inputs(w) for w in witnesses], r1cs,
+        min_params=FAST,
+    )
