@@ -175,6 +175,12 @@ def chacha20_blocks_in_graph(key_words, nblocks: int):
         _chacha_quarter(x, 1, 6, 11, 12)
         _chacha_quarter(x, 2, 7, 8, 13)
         _chacha_quarter(x, 3, 4, 9, 14)
+        # XLA:CPU re-executes producer fusions per consumer; every state
+        # word here feeds several downstream ops, so the unrolled 20-round
+        # DAG blows up combinatorially on the CPU backend (a fused m=2^6
+        # commit ran >6 min). Cut fusion once per double round (no-op on
+        # TPU, where this chain is exactly what we want fused).
+        x = list(modarith.cpu_fusion_barrier(tuple(x)))
     words = [xi + si for xi, si in zip(x, state)]
     return jnp.stack(words, axis=-1)  # (S, nblocks, 16)
 

@@ -44,6 +44,7 @@ class ShardedProofService:
         batch: Optional[int] = None,
         dp_axis: str = "dp",
         sp_axis: str = "sp",
+        prover: Optional[ShardedProver] = None,
     ) -> None:
         if r1cs.domain.kind != "roots":
             raise DomainError("sharded proving requires a roots (NTT) domain")
@@ -55,10 +56,24 @@ class ShardedProofService:
             raise DomainError(
                 f"batch {self.batch} must divide over dp={dp}"
             )
-        self.prover = ShardedProver(
-            r1cs.m, r1cs.modulus, host_ctx, mesh,
-            dp_axis=dp_axis, sp_axis=sp_axis,
-        )
+        if prover is not None:
+            # reuse an already-compiled step (jit caches are per-instance,
+            # so sharing the instance is what shares the executable)
+            if (
+                prover.m != r1cs.m
+                or prover.q != r1cs.modulus
+                or prover.mesh is not mesh
+            ):
+                raise DomainError(
+                    "supplied prover does not match this service's "
+                    "circuit/mesh"
+                )
+            self.prover = prover
+        else:
+            self.prover = ShardedProver(
+                r1cs.m, r1cs.modulus, host_ctx, mesh,
+                dp_axis=dp_axis, sp_axis=sp_axis,
+            )
 
     def _label(self, index: int) -> str:
         return f"svc-{index}"

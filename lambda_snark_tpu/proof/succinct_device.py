@@ -214,22 +214,30 @@ def _eval_fn(s: int, m: int):
     import jax.numpy as jnp
 
     def fn(polys, x4):  # polys (4, S, 4, m); x4 (4, S, 2) challenge planes
+        # cpu_fusion_barrier per ladder/reduction step: each `pows`/`terms`
+        # feeds two consumers, so XLA:CPU would re-execute the whole
+        # upstream digit chain per tree level (~m-fold blowup; a m=2^6
+        # eval ran >5 min). No-op on TPU.
         pows = jnp.zeros((_D, s, 2, 1), dtype=jnp.uint32).at[0].set(1)
         cur = x4[:, :, :, None]
         step = 1
         while step < m:
             k = min(step, m - step)
             nxt = modarith.mul_mod(_CTX, pows[..., :k], cur)
-            pows = jnp.concatenate([pows, nxt], axis=-1)
+            pows = modarith.cpu_fusion_barrier(
+                jnp.concatenate([pows, nxt], axis=-1)
+            )
             if 2 * step < m:
-                cur = modarith.mul_mod(_CTX, cur, cur)
+                cur = modarith.cpu_fusion_barrier(
+                    modarith.mul_mod(_CTX, cur, cur)
+                )
             step <<= 1
         terms = modarith.mul_mod(
             _CTX, polys[:, :, :, None, :], pows[:, :, None, :, :]
         )  # (4, S, 4, 2, m)
         while terms.shape[-1] > 1:
-            terms = modarith.add_mod(
-                _CTX, terms[..., 0::2], terms[..., 1::2]
+            terms = modarith.cpu_fusion_barrier(
+                modarith.add_mod(_CTX, terms[..., 0::2], terms[..., 1::2])
             )
         return terms[..., 0]  # (4, S, 4, 2)
 
