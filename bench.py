@@ -1,19 +1,26 @@
-"""Benchmark driver: NTT throughput on the real chip.
+"""Benchmark driver: the flagship metrics on the real chip.
 
-Prints ONE JSON line:
-    {"metric": "ntt_mbutterflies_per_s_chip_m2pow20", "value": ...,
-     "unit": "Mbutterflies/s", "vs_baseline": ...}
+Prints ONE JSON line whose `metric`/`value` is the succinct (FRI-bound)
+prover throughput — the number SURVEY §6 says this rebuild exists to
+establish (the reference left its bench targets TODO,
+cpp-core/CMakeLists.txt:196-200) — and whose `metrics` object carries every
+headline number measured this run (succinct proofs/s, batched base
+proofs/s, SHA3 Mhash/s, m=2^20 NTT Mbutterflies/s, aggregate proofs/s):
 
-Metric: radix-2-equivalent butterfly throughput (m/2 * log2 m butterflies
-per transform) of the m = 2^20 NTT over the Goldilocks modulus
-(the reference's `NTT_MODULUS`; the 45-bit NTT-friendly modulus
-17592169062401 tops out at m = 2^13 — its multiplicative group has 2-adicity
-13 — so 2^20 is only meaningful over Goldilocks; the q45 kernel is measured
-as a secondary metric in BENCH_NOTES.md).
+    {"metric": "succinct_proofs_per_s_batched", "value": ..., "unit":
+     "proofs/s", "vs_baseline": ..., "metrics": {...}, "elapsed_s": ...}
 
-vs_baseline: speedup over the reference's own extrapolated m=2^20 NTT time
-of 218 ms (docs/ntt-implementation.md section 6; BASELINE.md "NTT speedup"
-row) — the only published large-m number.
+vs_baseline: the reference's only prover-rate datum is 5.9 ms/proof
+(m=10 circuit, single thread, x86) ≈ 170 proofs/s; our statements are
+m = 2^13 — 800x larger — so the ratio understates the gap. The NTT entry
+inside `metrics` keeps the round-1..3 comparison (reference extrapolated
+218 ms at m=2^20).
+
+Budget model (round-3 lesson): the relay's FIRST device dispatch costs
+170-530 s depending on the day — it is timed separately (`first_contact_s`)
+and the section budget starts after it. Every section (gates included)
+checks remaining budget before starting; BENCH_LAST.json is rewritten
+after every section so partial results survive any external kill.
 """
 
 from __future__ import annotations
@@ -26,14 +33,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_M20_SECONDS = 0.218  # reference extrapolated NTT time at m=2^20
+REF_PROOFS_PER_S = 170.0  # reference 5.9 ms/proof at m=10 (BASELINE.md)
 
-# Wall-clock budget: the driver runs bench.py under a timeout (round 1 was
-# killed at rc=124 mid-way through the secondary sections). The headline JSON
-# line is printed and flushed as soon as it exists; secondary sections only
-# start while budget remains, and BENCH_LAST.json is rewritten after every
-# section so partial results survive any external kill.
 _START = time.time()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "330"))
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
 
 
 def _remaining() -> float:
@@ -130,6 +133,7 @@ def run_gates(out=None):
 
     if out is None:
         out = {}
+    _checkpoint(60)
     m = 1 << 20
     q = NTT_MODULUS
     omega = field.mod_pow(NTT_PRIMITIVE_ROOT, (1 << 32) // m, q)
@@ -202,6 +206,7 @@ def bench_ntt(m_log2: int = 20, batch: int = 1, iters: int = 10):
     import jax
     import jax.numpy as jnp
 
+    _checkpoint(75)
     _enable_compile_cache()
 
     from lambda_snark_tpu.core import field
@@ -573,6 +578,48 @@ def bench_succinct(out=None):
     return out
 
 
+def bench_succinct_scale(out=None):
+    """Succinct throughput at larger statement batches (S = 64, 128):
+    amortizes the fixed relay RTTs of each transcript stage over more
+    statements (VERDICT round-3 item 3)."""
+    from lambda_snark_tpu.proof.succinct_batch import prove_r1cs_succinct_batch
+
+    if out is None:
+        out = {}
+    m = 1 << 13
+    for s_batch, need in ((64, 240), (128, 300)):
+        _checkpoint(need)
+        r1cs, witnesses, seeds, ctx = _succinct_instance(m, s_batch)
+        for tag in ("cold", "warm"):
+            t0 = time.time()
+            prove_r1cs_succinct_batch(
+                r1cs, witnesses, ctx, seeds, device_lde=True
+            )
+            out[f"succinct_batch{s_batch}_prove_m2pow13_{tag}_s"] = (
+                time.time() - t0
+            )
+        out[f"succinct_proofs_per_s_batch{s_batch}"] = s_batch / out[
+            f"succinct_batch{s_batch}_prove_m2pow13_warm_s"
+        ]
+    return out
+
+
+def bench_ntt_section(out=None):
+    """Headline m=2^20 Goldilocks NTT timing + roofline fields."""
+    if out is None:
+        out = {}
+    res = bench_ntt(m_log2=20, batch=1, iters=10)
+    out["ntt_mbutterflies_per_s_chip_m2pow20"] = round(
+        res.pop("mbutterflies_per_s"), 1
+    )
+    out["ntt_vs_ref_extrapolation"] = round(
+        REF_M20_SECONDS / res["per_transform_s"], 1
+    )
+    out.update({f"ntt_{k}" if not k.startswith("ntt_") else k: v
+                for k, v in res.items()})
+    return out
+
+
 def bench_sha3(out=None):
     """Raw device SHA3-256 Merkle-node throughput (Pallas kernel)."""
     import numpy as np
@@ -636,73 +683,118 @@ def bench_aggregate(out=None):
     return out
 
 
+#: the values surfaced in the driver-parsed JSON line's `metrics` object
+_HEADLINE_KEYS = (
+    "succinct_proofs_per_s_batched",
+    "succinct_proofs_per_s_batch64",
+    "succinct_proofs_per_s_batch128",
+    "device_proofs_per_sec",
+    "device_proofs_per_sec_production_b256",
+    "sha3_device_mhash_per_s",
+    "ntt_mbutterflies_per_s_chip_m2pow20",
+    "aggregate_proofs_per_s",
+    "aggregate_bytes_per_statement",
+    "first_contact_s",
+)
+
+
+def _final_line(out: dict) -> dict:
+    metrics = {k: (round(out[k], 2) if isinstance(out[k], float) else out[k])
+               for k in _HEADLINE_KEYS if k in out}
+    line = {
+        "metrics": metrics,
+        "elapsed_s": round(time.time() - _START, 1),
+        "budget_s": _BUDGET_S,
+    }
+    if "succinct_proofs_per_s_batched" in out:
+        # flagship: the number the rebuild exists to establish (SURVEY §6).
+        # vs_baseline compares against the reference's 5.9 ms/proof (m=10!)
+        # sequential rate — our statements are m=2^13, so this understates.
+        v = out["succinct_proofs_per_s_batched"]
+        line.update(
+            metric="succinct_proofs_per_s_batched",
+            value=round(v, 2),
+            unit="proofs/s",
+            vs_baseline=round(v / REF_PROOFS_PER_S, 3),
+        )
+    elif "ntt_mbutterflies_per_s_chip_m2pow20" in out:
+        line.update(
+            metric="ntt_mbutterflies_per_s_chip_m2pow20",
+            value=out["ntt_mbutterflies_per_s_chip_m2pow20"],
+            unit="Mbutterflies/s",
+            vs_baseline=out.get("ntt_vs_ref_extrapolation", 0.0),
+        )
+    else:
+        line.update(
+            metric="succinct_proofs_per_s_batched", value=0.0,
+            unit="proofs/s", vs_baseline=0.0,
+            error=out.get("fatal", "no section completed"),
+        )
+    return line
+
+
 def main():
     # Default env on the sandbox pins the axon (real TPU) platform; honor it.
+    global _START
     gate_failed = False
-    try:
-        _enable_compile_cache()
-        gates = run_gates()
-        res = bench_ntt(m_log2=20, batch=1, iters=10)
-        res.update(gates)
-        value = res["mbutterflies_per_s"]
-        vs = REF_M20_SECONDS / res["per_transform_s"]
-        line = {
-            "metric": "ntt_mbutterflies_per_s_chip_m2pow20",
-            "value": round(value, 1),
-            "unit": "Mbutterflies/s",
-            "vs_baseline": round(vs, 1),
-        }
-        extra = res
-    except Exception as e:  # noqa: BLE001 - always emit the one JSON line
-        line = {
-            "metric": "ntt_mbutterflies_per_s_chip_m2pow20",
-            "value": 0.0,
-            "unit": "Mbutterflies/s",
-            "vs_baseline": 0.0,
-            "error": f"{type(e).__name__}: {e}"[:200],
-        }
-        extra = None
-        gate_failed = "GATE FAILED" in str(e)
-    print(json.dumps(line))
-    sys.stdout.flush()
+    out: dict = {}
 
-    def dump(extra):
+    def dump():
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
         )
+        out["elapsed_s"] = round(time.time() - _START, 1)
         with open(path, "w") as f:
-            json.dump(extra, f, indent=2, default=str)
+            json.dump(out, f, indent=2, default=str)
 
-    if extra is not None:
-        extra["budget_s"] = _BUDGET_S
-        dump(extra)
-        # value order: the succinct (flagship SNARK) metric first — it is
-        # the number the rebuild exists to establish — then batched base
-        # proofs/s, SHA3, the q45/ring kernels, and aggregate scaling
+    try:
+        _enable_compile_cache()
+        # relay warmup: the FIRST dispatch pays the tunnel setup
+        # (170-530 s observed) — timed separately, excluded from the budget
+        import numpy as np
+        import jax.numpy as jnp
+
+        t0 = time.time()
+        np.asarray(jnp.zeros((8,), jnp.uint32) + jnp.uint32(1))
+        out["first_contact_s"] = round(time.time() - t0, 1)
+        _START = time.time()  # section budget starts after warmup
+        out["budget_s"] = _BUDGET_S
+        dump()
+
+        # value order: correctness gates, then the flagship succinct metric,
+        # the headline NTT, batched base proving, SHA3, the q45/ring
+        # kernels, aggregate scaling, and the S=64/128 succinct sweep
         for fn in (
+            run_gates,
             bench_succinct,
+            bench_ntt_section,
             bench_proofs_per_sec,
             bench_sha3,
             bench_secondary,
             bench_aggregate,
+            bench_succinct_scale,
         ):
-            section = {}
+            section: dict = {}
             stop = False
             try:
                 fn(section)
             except BudgetExceeded as e:
                 section[f"{fn.__name__}_skipped"] = str(e)
-                stop = True
-            except Exception as e:  # noqa: BLE001 - secondary metrics best-effort
-                section[f"{fn.__name__}_error"] = f"{type(e).__name__}: {e}"[:200]
+            except Exception as e:  # noqa: BLE001 - sections are best-effort
+                section[f"{fn.__name__}_error"] = f"{type(e).__name__}: {e}"[:300]
                 if "GATE FAILED" in str(e):
                     gate_failed = True
                     stop = True
-            extra.update(section)
-            extra["elapsed_s"] = round(time.time() - _START, 1)
-            dump(extra)  # rewrite after every section: survive external kills
+            out.update(section)
+            dump()  # rewrite after every section: survive external kills
             if stop:
                 break
+    except Exception as e:  # noqa: BLE001 - the one JSON line must print
+        out["fatal"] = f"{type(e).__name__}: {e}"[:300]
+        dump()
+
+    print(json.dumps(_final_line(out)))
+    sys.stdout.flush()
     if gate_failed:
         sys.exit(1)
 

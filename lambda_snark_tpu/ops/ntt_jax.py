@@ -131,8 +131,14 @@ def _transform(plan: NttPlan, x, stage_tw) -> jnp.ndarray:
         tw = jnp.asarray(stage_tw[s - 1])  # (D, half)
         bshape = (ctx.d,) + (1,) * (len(lead) + 1) + (half,)
         t = modarith.mul_mod(ctx, v, jnp.reshape(tw, bshape))
-        x = jnp.concatenate(
-            [modarith.add_mod(ctx, u, t), modarith.sub_mod(ctx, u, t)], axis=-1
+        # one fusion cut per stage: u and t each feed two consumers, so
+        # XLA:CPU would re-execute every earlier stage per butterfly output
+        # (2^log2(m)-fold blowup of both compile and run time); no-op on TPU
+        x = modarith.cpu_fusion_barrier(
+            jnp.concatenate(
+                [modarith.add_mod(ctx, u, t), modarith.sub_mod(ctx, u, t)],
+                axis=-1,
+            )
         )
     return x.reshape(x.shape[:1] + lead + (m,))
 

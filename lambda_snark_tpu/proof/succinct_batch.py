@@ -527,7 +527,23 @@ def _gl_batch_frontend(
             raise InvalidDimensionsError(
                 f"witness {i} length {len(w)} must equal n={n}"
             )
-        z[i] = np.array([v % q for v in w], dtype=np.uint64)
+        if (
+            isinstance(w, np.ndarray)
+            and w.dtype == np.uint64
+            and bool((w < q).all())
+        ):
+            z[i] = w
+        else:
+            # fast path: canonical Python ints (the common case) convert in
+            # one C pass; the per-element % q loop only runs when needed
+            try:
+                arr = np.asarray(w, dtype=np.uint64)
+            except (OverflowError, TypeError, ValueError):
+                arr = None
+            if arr is not None and bool((arr < q).all()):
+                z[i] = arr
+            else:
+                z[i] = np.array([v % q for v in w], dtype=np.uint64)
     az = _spmv_batch(r1cs.a, z, q)
     bz = _spmv_batch(r1cs.b, z, q)
     cz = _spmv_batch(r1cs.c, z, q)
