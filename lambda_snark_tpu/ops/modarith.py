@@ -262,15 +262,22 @@ def _mul_mod_digits(ctx: ModulusCtx, al: List, bl: List) -> List:
 
 
 def mul_mod(ctx: ModulusCtx, a, b):
-    """(a * b) mod q on (D, ...) planes (Barrett)."""
+    """(a * b) mod q on (D, ...) planes (Barrett).
+
+    The result is a CPU fusion root: a mulmod's digit DAG consumes each
+    input plane several times, so composed chains re-execute their whole
+    producer graph multiplicatively on XLA:CPU (measured: a 9-transform
+    m=64 quotient chain ran 120 s; with per-op barriers, milliseconds).
+    No-op on TPU.
+    """
     out = _mul_mod_digits(ctx, _unstack(a), _unstack(b))
-    return jnp.stack(out)
+    return cpu_fusion_barrier(jnp.stack(out))
 
 
 def mul_mod_const(ctx: ModulusCtx, a, const_digits: Sequence[int]):
     """a * c mod q with a per-call constant c (twiddle factors etc.)."""
     out = _mul_mod_digits(ctx, _unstack(a), _const_digits(const_digits))
-    return jnp.stack(out)
+    return cpu_fusion_barrier(jnp.stack(out))
 
 
 def reduce_mod(ctx: ModulusCtx, a):

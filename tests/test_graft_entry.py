@@ -29,5 +29,8 @@ def test_dryrun_multichip_8(graft):
     graft.dryrun_multichip(8)
 
 
-def test_dryrun_multichip_2(graft):
+def test_dryrun_multichip_2(graft, monkeypatch):
+    # mesh-shape coverage only — the production m=2^10 size is already
+    # covered by the 8-device run above; m=64 halves this test's compiles
+    monkeypatch.setenv("DRYRUN_M", "64")
     graft.dryrun_multichip(2)
