@@ -579,28 +579,34 @@ def bench_succinct(out=None):
 
 
 def bench_succinct_scale(out=None):
-    """Succinct throughput at larger statement batches (S = 64, 128):
-    amortizes the fixed relay RTTs of each transcript stage over more
-    statements (VERDICT round-3 item 3)."""
+    """Succinct throughput at larger statement batches (S = 64, 128),
+    software-pipelined in 32-statement chunks: every chunk's
+    quotient+LDE+commit dispatch is enqueued before any pack is pulled, so
+    relay transfers overlap device compute (VERDICT round-3 item 3;
+    byte-identical to the unchunked prover, pinned in
+    tests/test_succinct_batch.py)."""
     from lambda_snark_tpu.proof.succinct_batch import prove_r1cs_succinct_batch
 
     if out is None:
         out = {}
     m = 1 << 13
-    for s_batch, need in ((64, 240), (128, 300)):
+    for s_batch, need in ((64, 240), (128, 240)):
         _checkpoint(need)
         r1cs, witnesses, seeds, ctx = _succinct_instance(m, s_batch)
-        for tag in ("cold", "warm"):
+        for tag in ("cold", "warm", "warm2"):
             t0 = time.time()
             prove_r1cs_succinct_batch(
-                r1cs, witnesses, ctx, seeds, device_lde=True
+                r1cs, witnesses, ctx, seeds, device_lde=True,
+                pipeline_chunk=32,
             )
             out[f"succinct_batch{s_batch}_prove_m2pow13_{tag}_s"] = (
                 time.time() - t0
             )
-        out[f"succinct_proofs_per_s_batch{s_batch}"] = s_batch / out[
-            f"succinct_batch{s_batch}_prove_m2pow13_warm_s"
-        ]
+        warm = min(
+            out[f"succinct_batch{s_batch}_prove_m2pow13_warm_s"],
+            out[f"succinct_batch{s_batch}_prove_m2pow13_warm2_s"],
+        )
+        out[f"succinct_proofs_per_s_batch{s_batch}"] = s_batch / warm
     return out
 
 

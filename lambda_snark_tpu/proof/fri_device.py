@@ -844,7 +844,7 @@ def _chain_fn(key, n0: int, s: int, k_in: int, d_bound: int, final_len: int,
     return fn
 
 
-def fri_prove_device_chain(
+def fri_chain_dispatch(
     g_planes,
     input_planes,
     input_forest: DevForest,
@@ -853,13 +853,11 @@ def fri_prove_device_chain(
     q: int,
     params: FriParams,
     trs: Sequence[FriTranscript],
-) -> List[FriProof]:
-    """Single-dispatch ``fri_prove_device``: the Fiat-Shamir transcript runs
-    on device, so folds, Merkle commits, the final polynomial, query index
-    derivation and all opening gathers execute as ONE jitted program. The
-    host uploads the seeded transcript states and pulls one result bundle.
-    Byte-identical to ``fri.fri_prove``.
-    """
+):
+    """Enqueue the single-dispatch FRI chain; returns ``(bundle_dev, cfg)``
+    where ``bundle_dev`` is the (device) flat result array and ``cfg`` the
+    static layout for :func:`fri_chain_finish`. Pipelined callers dispatch
+    several chunks before pulling any bundle."""
     if q != P:
         raise DomainError("device FRI is implemented for the Goldilocks modulus")
     params.validate()
@@ -883,13 +881,46 @@ def fri_prove_device_chain(
            offset, omega, counter0)
     fn = _chain_fn(key, n0, s, k_in, d_bound, final_len, params.num_queries,
                    offset, omega, counter0, n_input_levels)
-    bundle = np.asarray(  # ONE pull: roots + final poly + ok + openings
-        fn(g_planes, input_planes, tuple(input_forest.levels_dev), state,
-           tabs)
-    )
+    from ..utils.timing import stage
 
-    # reconstruct the static output layout to split the flat array
-    nq = params.num_queries
+    stage("chain:dispatch")
+    bundle_dev = fn(
+        g_planes, input_planes, tuple(input_forest.levels_dev), state, tabs
+    )
+    cfg = (s, k_in, n0, d_bound, final_len, params.num_queries,
+           n_input_levels)
+    return bundle_dev, cfg
+
+
+def fri_prove_device_chain(
+    g_planes,
+    input_planes,
+    input_forest: DevForest,
+    offset: int,
+    omega: int,
+    q: int,
+    params: FriParams,
+    trs: Sequence[FriTranscript],
+) -> List[FriProof]:
+    """Single-dispatch ``fri_prove_device``: the Fiat-Shamir transcript runs
+    on device, so folds, Merkle commits, the final polynomial, query index
+    derivation and all opening gathers execute as ONE jitted program. The
+    host uploads the seeded transcript states and pulls one result bundle.
+    Byte-identical to ``fri.fri_prove``.
+    """
+    bundle_dev, cfg = fri_chain_dispatch(
+        g_planes, input_planes, input_forest, offset, omega, q, params, trs
+    )
+    return fri_chain_finish(bundle_dev, cfg)
+
+
+def fri_chain_finish(bundle_dev, cfg) -> List[FriProof]:
+    """Pull a chain bundle (ONE transfer) and reconstruct the FriProofs."""
+    from ..utils.timing import stage
+
+    s, k_in, n0, d_bound, final_len, nq, n_input_levels = cfg
+    bundle = np.asarray(bundle_dev)
+    stage("chain:bundle-pulled")
     shapes = [(4, s, k_in, nq), (4, s, k_in, nq)]
     shapes += [(8, s * k_in, nq)] * (n_input_levels - 1)
     n_k = n0

@@ -42,6 +42,7 @@ from ..r1cs.r1cs import R1CS
 from ..r1cs.sparse import SparseMatrix
 from ..transcript.challenge import derive_dual
 from ..utils.chacha import ChaCha20Rng
+from ..utils.timing import stage
 from .fri import (
     FriParams,
     FriProof,
@@ -288,6 +289,7 @@ def prove_r1cs_succinct_batch(
     fri_params: Optional[FriParams] = None,
     blinding_seeds: Optional[Sequence[int]] = None,
     device_lde: bool = True,
+    pipeline_chunk: Optional[int] = None,
 ) -> List[SuccinctProofR1CS]:
     """Prove a batch of statements over one circuit with succinct openings.
 
@@ -330,6 +332,18 @@ def prove_r1cs_succinct_batch(
     from . import fri as fri_mod
 
     device_fri = device_lde and fri_mod.DEVICE_HASH
+    if (
+        pipeline_chunk
+        and not zk
+        and device_fri
+        and _gl_frontend_applicable(r1cs)
+        and ctx.n >= r1cs.m
+        and len(witnesses) > pipeline_chunk
+    ):
+        return _prove_pipelined(
+            r1cs, witnesses, ctx, seeds, params, pipeline_chunk
+        )
+    stage("prove:start")
     fe = _gl_batch_frontend(
         r1cs, witnesses, ctx, seeds, zk, params, blinding_seeds, device_lde,
         device_fri=device_fri,
@@ -341,6 +355,7 @@ def prove_r1cs_succinct_batch(
     commitments, chals = fe.commitments, fe.chals
     alphas, betas, evals = fe.alphas, fe.betas, fe.evals
 
+    stage("prove:frontend-done")
     # per-statement FRI transcripts + batched DEEP quotient
     trs = []
     lams = np.empty(s, dtype=np.uint64)
@@ -357,12 +372,15 @@ def prove_r1cs_succinct_batch(
         from . import fri_device
 
         input_planes = fe.planes_dev.reshape(4, s, 4, n0)
+        stage("prove:transcripts-seeded")
         g_planes = fri_device.deep_combine_device(
             input_planes, alphas, betas, lams, evals, offset, omega_n
         )
+        stage("prove:deep-dispatched")
         fri_proofs = fri_device.fri_prove_device(
             g_planes, input_planes, fe.forest, offset, omega_n, q, params, trs
         )
+        stage("prove:fri-done")
     else:
         xs = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))  # [n0]
         inv_a = _gl_inverse_batch(glnp.gl_sub(xs[None, :], alphas[:, None]))
@@ -446,6 +464,7 @@ def _device_frontend(
     # the host. Fallback: pull q_poly and commit on host (value-identical
     # either way; pinned in tests/test_succinct_batch.py).
     fused_commit = ctx.n >= m
+    stage("frontend:lde-dispatch")
     if fused_commit:
         planes_dev, commitments, polys_dev, forest = sd.quotient_lde_device(
             az, bz, cz, n0, offset, commit_ctx=ctx, seeds=seeds
@@ -457,6 +476,7 @@ def _device_frontend(
         commitments, _ops = lwe.commit_batch(
             ctx, [_gl_trim(q_poly[i]) for i in range(s)], list(seeds)
         )
+    stage("frontend:lde-pulled")
     roots = [list(forest.roots[4 * i : 4 * i + 4]) for i in range(s)]
     alphas = np.empty(s, dtype=np.uint64)
     betas = np.empty(s, dtype=np.uint64)
@@ -476,7 +496,9 @@ def _device_frontend(
         alphas[i] = ch_alpha.alpha
         betas[i] = ch_beta.alpha
 
+    stage("frontend:challenges")
     evals = sd.eval_device(polys_dev, alphas, betas)
+    stage("frontend:evals-pulled")
 
     fe = _BatchFrontend()
     fe.q, fe.m, fe.mask_len = q, r1cs.m, mask_len
@@ -501,6 +523,44 @@ class _BatchFrontend:
     )
 
 
+def _embed_and_eval(r1cs: R1CS, witnesses):
+    """Embed witnesses mod q (one C pass per canonical-int witness) and
+    compute the validated (az, bz, cz) constraint evaluations [S, m]."""
+    s = len(witnesses)
+    q = r1cs.modulus
+    n = r1cs.n
+    z = np.empty((s, n), dtype=np.uint64)
+    for i, w in enumerate(witnesses):
+        if len(w) != n:
+            raise InvalidDimensionsError(
+                f"witness {i} length {len(w)} must equal n={n}"
+            )
+        if (
+            isinstance(w, np.ndarray)
+            and w.dtype == np.uint64
+            and bool((w < q).all())
+        ):
+            z[i] = w
+        else:
+            try:
+                arr = np.asarray(w, dtype=np.uint64)
+            except (OverflowError, TypeError, ValueError):
+                arr = None
+            if arr is not None and bool((arr < q).all()):
+                z[i] = arr
+            else:
+                z[i] = np.array([v % q for v in w], dtype=np.uint64)
+    az = _spmv_batch(r1cs.a, z, q)
+    bz = _spmv_batch(r1cs.b, z, q)
+    cz = _spmv_batch(r1cs.c, z, q)
+    bad = glnp.gl_sub(glnp.gl_mul(az, bz), cz).any(axis=1)
+    if bool(bad.any()):
+        raise InvalidWitnessError(
+            f"witness {int(np.nonzero(bad)[0][0])} does not satisfy R1CS constraints"
+        )
+    return az, bz, cz
+
+
 def _gl_batch_frontend(
     r1cs: R1CS,
     witnesses: Sequence[Sequence[int]],
@@ -520,38 +580,7 @@ def _gl_batch_frontend(
     offset = coset_offset(q)
 
     # 1. batched constraint evaluation + witness validation
-    n = r1cs.n
-    z = np.empty((s, n), dtype=np.uint64)
-    for i, w in enumerate(witnesses):
-        if len(w) != n:
-            raise InvalidDimensionsError(
-                f"witness {i} length {len(w)} must equal n={n}"
-            )
-        if (
-            isinstance(w, np.ndarray)
-            and w.dtype == np.uint64
-            and bool((w < q).all())
-        ):
-            z[i] = w
-        else:
-            # fast path: canonical Python ints (the common case) convert in
-            # one C pass; the per-element % q loop only runs when needed
-            try:
-                arr = np.asarray(w, dtype=np.uint64)
-            except (OverflowError, TypeError, ValueError):
-                arr = None
-            if arr is not None and bool((arr < q).all()):
-                z[i] = arr
-            else:
-                z[i] = np.array([v % q for v in w], dtype=np.uint64)
-    az = _spmv_batch(r1cs.a, z, q)
-    bz = _spmv_batch(r1cs.b, z, q)
-    cz = _spmv_batch(r1cs.c, z, q)
-    bad = glnp.gl_sub(glnp.gl_mul(az, bz), cz).any(axis=1)
-    if bool(bad.any()):
-        raise InvalidWitnessError(
-            f"witness {int(np.nonzero(bad)[0][0])} does not satisfy R1CS constraints"
-        )
+    az, bz, cz = _embed_and_eval(r1cs, witnesses)
 
     if device_fri and not zk:
         # device front-end: interpolation, quotient, twist and LDE run as one
@@ -683,6 +712,122 @@ _SEED_FOLD = 0x9E3779B97F4A7C15
 _BLIND_SALT = 0xA5A5A5A55A5A5A5A
 
 
+def _prove_pipelined(
+    r1cs: R1CS,
+    witnesses: Sequence[Sequence[int]],
+    ctx: lwe.LweContext,
+    seeds: Sequence[int],
+    params: FriParams,
+    chunk: int,
+) -> List[SuccinctProofR1CS]:
+    """Software-pipelined batched succinct proving (non-ZK, fused-commit).
+
+    The warm batch prover spends ~80% of its wall time blocked on two relay
+    transfers per batch (the LDE/commit pack pull and the FRI bundle pull)
+    while the device sits idle between them. Splitting the batch into
+    chunks and dispatching every chunk's quotient+LDE+commit program BEFORE
+    pulling any pack overlaps chunk i's pull with chunk i+1's device
+    compute; the FRI chain bundles are likewise pulled only after every
+    chunk's chain is enqueued.
+
+    Byte-exactness: proofs depend only on (witness, seed) per statement —
+    chunking is pinned byte-identical to the unchunked batch prover in
+    tests/test_succinct_batch.py.
+    """
+    from . import fri_device
+    from . import succinct_device as sd
+
+    q = r1cs.modulus
+    m = r1cs.m
+    mask_len = 0
+    d_bound, n0, omega_n = _check_instance(r1cs, params, mask_len)
+    offset = coset_offset(q)
+    s = len(witnesses)
+    az, bz, cz = _embed_and_eval(r1cs, witnesses)
+
+    stage("pipe:dispatch-A")
+    slices = [slice(i, min(i + chunk, s)) for i in range(0, s, chunk)]
+    phase_a = []
+    for sl in slices:
+        lde, deferred, polys_dev, _ = sd.quotient_lde_device(
+            az[sl], bz[sl], cz[sl], n0, offset, commit_ctx=ctx,
+            seeds=list(seeds[sl.start : sl.stop]), defer_pull=True,
+        )
+        phase_a.append((sl, lde, deferred, polys_dev))
+
+    stage("pipe:phase-B")
+    phase_c = []
+    for sl, lde, deferred, polys_dev in phase_a:
+        commitments, forest = sd.finish_quotient_lde(deferred)
+        sc = sl.stop - sl.start
+        roots = [list(forest.roots[4 * i : 4 * i + 4]) for i in range(sc)]
+        alphas = np.empty(sc, dtype=np.uint64)
+        betas = np.empty(sc, dtype=np.uint64)
+        chals = []
+        for i in range(sc):
+            comm_words = np.concatenate(
+                [
+                    commitments[i].words,
+                    np.array(_roots_to_words(roots[i]), dtype=np.uint64),
+                ]
+            )
+            ch_alpha, ch_beta = derive_dual(
+                r1cs.public_inputs(witnesses[sl.start + i]), comm_words, q
+            )
+            chals.append((ch_alpha, ch_beta))
+            alphas[i] = ch_alpha.alpha
+            betas[i] = ch_beta.alpha
+        evals = sd.eval_device(polys_dev, alphas, betas)
+        trs = []
+        lams = np.empty(sc, dtype=np.uint64)
+        for i in range(sc):
+            tr = _seed_fri_transcript(
+                q, m, mask_len, params, d_bound, roots[i],
+                int(alphas[i]), int(betas[i]), [int(v) for v in evals[i]],
+            )
+            lams[i] = tr.challenge_field(q, b"fri-lambda")
+            trs.append(tr)
+        input_planes = lde.reshape(4, sc, 4, n0)
+        g_planes = fri_device.deep_combine_device(
+            input_planes, alphas, betas, lams, evals, offset, omega_n
+        )
+        bundle_dev, cfg = fri_device.fri_chain_dispatch(
+            g_planes, input_planes, forest, offset, omega_n, q, params, trs
+        )
+        phase_c.append((sl, commitments, roots, chals, evals, bundle_dev, cfg))
+
+    stage("pipe:phase-C")
+    proofs: List[SuccinctProofR1CS] = []
+    for sl, commitments, roots, chals, evals, bundle_dev, cfg in phase_c:
+        fri_proofs = fri_device.fri_chain_finish(bundle_dev, cfg)
+        for i in range(sl.stop - sl.start):
+            proofs.append(
+                SuccinctProofR1CS(
+                    commitment_q=commitments[i],
+                    input_roots=tuple(roots[i]),
+                    challenge_alpha=chals[i][0],
+                    challenge_beta=chals[i][1],
+                    a_alpha=int(evals[i, 0]),
+                    b_alpha=int(evals[i, 1]),
+                    c_alpha=int(evals[i, 2]),
+                    q_alpha=int(evals[i, 3]),
+                    a_beta=int(evals[i, 4]),
+                    b_beta=int(evals[i, 5]),
+                    c_beta=int(evals[i, 6]),
+                    q_beta=int(evals[i, 7]),
+                    fri=fri_proofs[i],
+                    m=m,
+                    mask_len=mask_len,
+                    log_blowup=params.log_blowup,
+                    num_queries=params.num_queries,
+                    final_len=params.final_len,
+                    modulus=q,
+                )
+            )
+    stage("pipe:done")
+    return proofs
+
+
 def _index_seed(master: int, index: int) -> int:
     """Deterministic per-statement seed: resume-stable for any partition."""
     return (master ^ (_SEED_FOLD * (index + 1))) & ((1 << 63) - 1)
@@ -700,6 +845,7 @@ def prove_r1cs_succinct_stream(
     store=None,
     device_lde: bool = True,
     label_prefix: str = "succinct",
+    pipeline_chunk: Optional[int] = None,
 ):
     """Yield ``(index, SuccinctProofR1CS)`` for a witness stream, in order.
 
@@ -733,6 +879,7 @@ def prove_r1cs_succinct_stream(
         proofs = prove_r1cs_succinct_batch(
             r1cs, ws, ctx, seeds, zk=zk, fri_params=params,
             blinding_seeds=blinds, device_lde=device_lde,
+            pipeline_chunk=pipeline_chunk,
         )
         for (index, w), proof, s in zip(pending, proofs, seeds):
             if store is not None:

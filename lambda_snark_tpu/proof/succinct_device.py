@@ -136,7 +136,7 @@ def _quotient_lde_fn(s: int, m: int, n0: int, offset: int,
 
 def quotient_lde_device(
     az: np.ndarray, bz: np.ndarray, cz: np.ndarray, n0: int, offset: int,
-    commit_ctx=None, seeds=None,
+    commit_ctx=None, seeds=None, defer_pull: bool = False,
 ) -> Tuple[object, np.ndarray, object]:
     """az/bz/cz: (S, m) uint64 canonical constraint evaluations.
 
@@ -193,14 +193,28 @@ def quotient_lde_device(
         jnp.asarray(cdf_hi),
         jnp.asarray(cdf_lo),
     )
+    deferred = (host_pack, s, commit_ctx.n, levels)
+    if defer_pull:
+        # pipelined callers pull later (overlapping other chunks' compute)
+        return lde, deferred, polys_dev, None
+    commitments, forest = finish_quotient_lde(deferred)
+    return lde, commitments, polys_dev, forest
+
+
+def finish_quotient_lde(deferred):
+    """Pull the packed (c words ‖ root words) array and build the host
+    Commitments + DevForest for a ``defer_pull=True`` dispatch."""
+    from ..commit import lwe as lwe_mod
+    from . import fri_device
+
+    host_pack, s, n_ring, levels = deferred
     hp = np.asarray(host_pack)  # one pull: c words + root words
-    n_ring = commit_ctx.n
     cw = hp[: 2 * s * n_ring].reshape(2, s, n_ring)
     root_words = hp[2 * s * n_ring:].reshape(8, 4 * s)
     c_u64 = cw[0].astype(np.uint64) | (cw[1].astype(np.uint64) << np.uint64(32))
     commitments = [lwe_mod.Commitment(c_u64[i]) for i in range(s)]
     forest = fri_device.forest_from_levels(levels, root_words=root_words)
-    return lde, commitments, polys_dev, forest
+    return commitments, forest
 
 
 _EVAL_CACHE: dict = {}

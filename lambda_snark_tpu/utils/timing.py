@@ -108,3 +108,31 @@ def ntt_roofline(m: int, digits: int, chip: ChipSpec = TPU_V5E) -> dict:
     bytes_accessed = 2 * m * digits * 4
     butterflies = (m // 2) * log_m
     return roofline(bytes_accessed, vpu_int32_ops=butterflies * 80.0, chip=chip)
+
+
+# --- lightweight stage marks (env LSNARK_STAGE_TIMING=1) ---------------------
+#
+# The batched succinct prover interleaves device dispatches, blocking relay
+# pulls and host field math; cProfile lumps every blocking pull into
+# `Array._value`. Stage marks give the wall-clock between named points with
+# near-zero overhead when disabled.
+
+import os as _os
+
+STAGE_ENABLED = _os.environ.get("LSNARK_STAGE_TIMING") == "1"
+_STAGE_LOG: list = []
+
+
+def stage(label: str) -> None:
+    if STAGE_ENABLED:
+        _STAGE_LOG.append((label, time.time()))
+
+
+def stage_report(reset: bool = True) -> str:
+    """Render deltas between consecutive marks; optionally clear the log."""
+    lines = []
+    for (a, ta), (b, tb) in zip(_STAGE_LOG, _STAGE_LOG[1:]):
+        lines.append(f"{(tb - ta) * 1e3:9.1f} ms  {a} -> {b}")
+    if reset:
+        _STAGE_LOG.clear()
+    return "\n".join(lines)

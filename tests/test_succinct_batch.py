@@ -103,6 +103,21 @@ def test_batch_device_lde_same_bytes(ctx_gl, batch_instance):
     assert [p.to_bytes() for p in host] == [p.to_bytes() for p in dev]
 
 
+def test_batch_pipelined_same_bytes(ctx_gl, batch_instance):
+    """Software-pipelined chunking must not change a single proof byte —
+    including an uneven tail chunk (3 statements, chunk=2)."""
+    r1cs, witnesses = batch_instance
+    seeds = [21, 22, 23]
+    dev = prove_r1cs_succinct_batch(
+        r1cs, witnesses, ctx_gl, seeds, fri_params=FAST, device_lde=True
+    )
+    piped = prove_r1cs_succinct_batch(
+        r1cs, witnesses, ctx_gl, seeds, fri_params=FAST, device_lde=True,
+        pipeline_chunk=2,
+    )
+    assert [p.to_bytes() for p in dev] == [p.to_bytes() for p in piped]
+
+
 def test_batch_zk_bytes_equal_sequential(ctx_gl, batch_instance):
     r1cs, witnesses = batch_instance
     seeds = [31, 32, 33]
