@@ -438,7 +438,11 @@ class FriQuery:
     layer_openings: Tuple[LayerOpening, ...]  # one per committed fold layer
 
     def to_bytes(self) -> bytes:
-        out = struct.pack("<BB", len(self.input_openings), len(self.layer_openings))
+        # LE16 counts: an aggregated (kind-8) query opens 4*S input oracles,
+        # which exceeds u8 at S >= 64 (found by the aggregate scaling sweep)
+        out = struct.pack(
+            "<HH", len(self.input_openings), len(self.layer_openings)
+        )
         for op in self.input_openings:
             out += op.to_bytes()
         for op in self.layer_openings:
@@ -447,10 +451,10 @@ class FriQuery:
 
     @staticmethod
     def read(data: bytes, off: int) -> Tuple["FriQuery", int]:
-        if off + 2 > len(data):
+        if off + 4 > len(data):
             raise SerializationError("truncated FRI query")
-        n_in, n_layer = struct.unpack_from("<BB", data, off)
-        off += 2
+        n_in, n_layer = struct.unpack_from("<HH", data, off)
+        off += 4
         ins = []
         for _ in range(n_in):
             op, off = LayerOpening.read(data, off)

@@ -84,7 +84,9 @@ def main():
         s = buckets[0]
         for b in buckets[1:]:
             s = s + b
-        return s
+        # chainable output: same (2, rows, 128) uint32 shape as the input
+        su = s.astype(jnp.uint32)
+        return jnp.stack([su & jnp.uint32(0xFFFF), su >> jnp.uint32(16)])
 
     for name, fn in (("full", full), ("epilogue", epilogue),
                      ("matmul_only", matmul_only)):

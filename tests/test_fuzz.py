@@ -48,3 +48,16 @@ def test_truncation_regression():
             WitnessBinding.from_bytes(binding[:cut]).to_bytes()
         except LambdaSnarkError:
             pass
+
+
+def test_fri_query_roundtrip_over_255_openings():
+    """Aggregated (kind-8) queries open 4*S input oracles; S >= 64 exceeded
+    the old u8 count field (found by the aggregate scaling sweep)."""
+    from lambda_snark_tpu.proof.fri import FriQuery, LayerOpening
+
+    op = LayerOpening(1, 2, (b"\x11" * 32,))
+    q = FriQuery(tuple([op] * 300), tuple([op] * 3))
+    data = q.to_bytes()
+    got, off = FriQuery.read(data, 0)
+    assert off == len(data)
+    assert got == q
