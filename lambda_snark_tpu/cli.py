@@ -403,6 +403,7 @@ def cmd_prove_stream(args) -> int:
         stream = prove_r1cs_succinct_stream(
             r1cs, witnesses, ctx, seed=args.seed, batch=args.batch,
             zk=args.zk, blinding_seed=args.blinding_seed, store=store,
+            pipeline_chunk=args.pipeline_chunk,
         )
     else:
         from .prover_batched import prove_r1cs_stream
@@ -582,6 +583,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="JSON list of witness vectors")
     ps.add_argument("--context")
     ps.add_argument("--batch", type=int, default=8)
+    ps.add_argument("--pipeline-chunk", type=int, default=None,
+                    help="software-pipeline succinct batches in chunks of "
+                         "this many statements (overlaps transfers with "
+                         "device compute; byte-identical)")
     ps.add_argument("--succinct", action="store_true",
                     help="FRI-bound succinct proofs (NTT fields only)")
     ps.add_argument("--zk", action="store_true")
