@@ -102,53 +102,96 @@ def _extract_subdigits(x) -> List:
     return subs
 
 
+#: bias making the digit-level weight fold non-negative, pre-reduced mod p:
+#: 2^17 per 16-bit column (covers the two subtracted digits) + 8 for the
+#: e4-fold column (e4 < 8)
+_FOLD_BIAS = (
+    ((1 << 17) * (1 + (1 << 16) + (1 << 32) + (1 << 48)) + 8)
+    % 18446744069414584321
+)
+_FOLD_BIAS_DIGITS = tuple((_FOLD_BIAS >> (16 * j)) & 0xFFFF for j in range(4))
+
+
 def _fold_columns_goldilocks(cols: List, zero) -> jnp.ndarray:
     """16-bit column accumulators (uint32) -> canonical digit planes.
 
-    Carry-propagates the columns to 16-bit digits, groups them into 32-bit
-    words w_i and folds the word weights with the Goldilocks identities
-    2^(32 i) mod p in {1, 2^32, 2^32 - 1, -1, -2^32, 1 - 2^32}.
+    Carry-propagates the columns to 16-bit digits d_0..d_11, then folds
+    the digit weights 2^(16 j) mod p DIRECTLY at digit level
+    (2^64 = 2^32 - 1, 2^96 = -1, ...):
+
+        col_0 = d0 - d4 - d6 + d10        col_2 = d2 + d4 - d8  - d10
+        col_1 = d1 - d5 - d7 + d11        col_3 = d3 + d5 - d9  - d11
+
+    with a +2^17 bias per column keeping everything unsigned; the top
+    carries re-fold (e4 < 8 at 2^64, then a single binary carry), one
+    conditional subtract canonicalizes, and the constant total bias is
+    subtracted mod p once. ~40% fewer VPU ops than the previous
+    word-level add_mod/sub_mod chain — this epilogue is the packed NTT's
+    binding resource (BENCH_NOTES roofline).
     """
+    while cols and cols[-1] is None:  # skip trailing empty columns
+        cols = cols[:-1]
     n_cols = len(cols)
     cols = [c if c is not None else zero for c in cols]
     cols = modarith.cpu_fusion_barrier(cols)
-    digits = []
+    d = []
     carry = zero
     for j in range(n_cols + 1):
         tot = (cols[j] if j < n_cols else zero) + carry
-        digits.append(tot & 0xFFFF)
+        d.append(tot & 0xFFFF)
         carry = tot >> 16
-    digits = modarith.cpu_fusion_barrier(digits)
+    while len(d) < 12:
+        d.append(zero)
+    d = modarith.cpu_fusion_barrier(d)
 
-    def planes2(lo16, hi16):
-        return jnp.stack([lo16, hi16, zero, zero])
-
-    def planes_shift32(lo16, hi16):
-        raw = jnp.stack([zero, zero, lo16, hi16])
-        # value < 2^64: one conditional subtract of p canonicalizes
-        ql = [jnp.uint32(d) for d in _CTX.q_digits]
-        r = modarith._cond_sub([raw[i] for i in range(4)], ql)
-        return jnp.stack(r)
-
-    w = [
-        (digits[2 * i], digits[2 * i + 1] if 2 * i + 1 < len(digits) else zero)
-        for i in range(6)
-    ]
-    acc_planes = planes2(*w[0])
-    acc_planes = modarith.add_mod(_CTX, acc_planes, planes_shift32(*w[1]))
-    t2 = modarith.sub_mod(_CTX, planes_shift32(*w[2]), planes2(*w[2]))
-    acc_planes = modarith.add_mod(_CTX, acc_planes, t2)
-    acc_planes = modarith.sub_mod(
-        _CTX, acc_planes, planes2(*w[3])
+    bias = jnp.uint32(1 << 17)
+    c0 = d[0] + d[10] + bias - d[4] - d[6]
+    c1 = d[1] + d[11] + bias - d[5] - d[7]
+    c2 = d[2] + d[4] + bias - d[8] - d[10]
+    c3 = d[3] + d[5] + bias - d[9] - d[11]
+    e = []
+    carry = zero
+    for c in (c0, c1, c2, c3):
+        tot = c + carry
+        e.append(tot & 0xFFFF)
+        carry = tot >> 16
+    e4 = carry  # < 8: sum c_j 2^(16 j) < 2^18 * 2^49
+    # fold e4 * 2^64 = e4 * (2^32 - 1): +e4 at 2^32, -e4 at 2^0 (bias 8)
+    f0 = e[0] + jnp.uint32(8) - e4
+    f2 = e[2] + e4
+    g = []
+    carry = zero
+    for c in (f0, e[1], f2, e[3]):
+        tot = c + carry
+        g.append(tot & 0xFFFF)
+        carry = tot >> 16
+    g4 = carry  # binary: inputs <= 2^16 + 9
+    # low64 < 2^64 = p + (2^32 - 1): ONE conditional subtract canonicalizes
+    ql = modarith._const_digits(_CTX.q_digits)
+    r = modarith._cond_sub(g, ql)
+    # fold g4 * 2^64 = g4 * (2^32 - 1) with a modular add of the masked
+    # constant (digits of 2^32 - 1 are [0xFFFF, 0xFFFF, 0, 0])
+    gm = g4 * jnp.uint32(0xFFFF)
+    acc_planes = modarith.add_mod(
+        _CTX, jnp.stack(r), jnp.stack([gm, gm, zero, zero])
     )
-    acc_planes = modarith.sub_mod(_CTX, acc_planes, planes_shift32(*w[4]))
-    t5 = modarith.sub_mod(_CTX, planes2(*w[5]), planes_shift32(*w[5]))
-    acc_planes = modarith.add_mod(_CTX, acc_planes, t5)
-    return modarith.cpu_fusion_barrier(acc_planes)
+    bias_planes = jnp.stack(
+        [zero + jnp.uint32(v) for v in _FOLD_BIAS_DIGITS]
+    )
+    return modarith.cpu_fusion_barrier(
+        modarith.sub_mod(_CTX, acc_planes, bias_planes)
+    )
 
 
 def _recombine_goldilocks(buckets: List) -> jnp.ndarray:
-    """Fold G_v * 2^(7v) sums (int32, < 2^25) into canonical digit planes."""
+    """Fold G_v * 2^(7v) sums (int32, < 2^25) into canonical digit planes.
+
+    Each bucket lands in exactly TWO 16-bit columns via the exact split
+    gu * 2^o = (gu mod 2^(16-o)) * 2^o + (gu >> (16-o)) * 2^16 — the
+    column accumulators are u32 and the fold's carry chain absorbs values
+    above 16 bits, so no per-bucket c0/c1 pre-split is needed (the
+    epilogues are the VPU-bound 83% of a leaf level; see BENCH_NOTES
+    roofline)."""
     buckets = modarith.cpu_fusion_barrier(buckets)
     n_cols = 11
     cols = [None] * n_cols
@@ -159,18 +202,16 @@ def _recombine_goldilocks(buckets: List) -> jnp.ndarray:
         cols[j] = val if cols[j] is None else cols[j] + val
 
     for v, g in enumerate(buckets):
-        gu = g.astype(jnp.uint32)
-        c0 = gu & 0xFFFF
-        c1 = gu >> 16  # < 2^9
+        gu = g.astype(jnp.uint32)  # < 2^25
         p_bit = 7 * v
         j0 = p_bit >> 4
         o = p_bit & 15
-        full = c0 << o  # < 2^31
-        acc(j0, full & 0xFFFF)
-        acc(j0 + 1, full >> 16)
-        full2 = c1 << o  # < 2^25
-        acc(j0 + 1, full2 & 0xFFFF)
-        acc(j0 + 2, full2 >> 16)
+        if o == 0:
+            acc(j0, gu & 0xFFFF)
+            acc(j0 + 1, gu >> 16)  # < 2^9
+        else:
+            acc(j0, (gu & ((1 << (16 - o)) - 1)) << o)  # < 2^16
+            acc(j0 + 1, gu >> (16 - o))  # < 2^(o+9)
     zero = jnp.zeros_like(buckets[0].astype(jnp.uint32))
     return _fold_columns_goldilocks(cols, zero)
 
@@ -199,17 +240,16 @@ def _recombine_goldilocks_bal(buckets: List) -> jnp.ndarray:
 
     for v, g in enumerate(buckets):
         gu = (g + jnp.int32(_BAL_BIAS)).astype(jnp.uint32)  # [0, 2^25]
-        c0 = gu & 0xFFFF
-        c1 = gu >> 16  # <= 2^9
         p_bit = 8 * v
         j0 = p_bit >> 4
         o = p_bit & 15  # 0 or 8
-        full = c0 << o  # < 2^24
-        acc(j0, full & 0xFFFF)
-        acc(j0 + 1, full >> 16)
-        full2 = c1 << o  # <= 2^17
-        acc(j0 + 1, full2 & 0xFFFF)
-        acc(j0 + 2, full2 >> 16)
+        # exact two-column split (see _recombine_goldilocks)
+        if o == 0:
+            acc(j0, gu & 0xFFFF)
+            acc(j0 + 1, gu >> 16)  # <= 2^9
+        else:
+            acc(j0, (gu & 0xFF) << 8)  # < 2^16
+            acc(j0 + 1, gu >> 8)  # <= 2^17
     zero = jnp.zeros_like(buckets[0].astype(jnp.uint32))
     acc_planes = _fold_columns_goldilocks(cols, zero)
     bias_planes = jnp.stack(

@@ -119,18 +119,19 @@ def _recombine_q45(buckets: List) -> jnp.ndarray:
         cols[j] = val if cols[j] is None else cols[j] + val
 
     for v, g in enumerate(buckets):
-        gu = g.astype(jnp.uint32)
-        c0 = gu & 0xFFFF
-        c1 = gu >> 16  # < 2^9
+        gu = g.astype(jnp.uint32)  # < 2^24
         p_bit = 7 * v
         j0 = p_bit >> 4
         o = p_bit & 15
-        full = c0 << o  # < 2^31
-        acc(j0, full & 0xFFFF)
-        acc(j0 + 1, full >> 16)
-        full2 = c1 << o  # < 2^25
-        acc(j0 + 1, full2 & 0xFFFF)
-        acc(j0 + 2, full2 >> 16)
+        # exact two-column split: gu*2^o = (gu mod 2^(16-o))*2^o +
+        # (gu >> (16-o))*2^16; u32 columns + the carry chain absorb >16-bit
+        # values (the recombination epilogues are the VPU bound)
+        if o == 0:
+            acc(j0, gu & 0xFFFF)
+            acc(j0 + 1, gu >> 16)
+        else:
+            acc(j0, (gu & ((1 << (16 - o)) - 1)) << o)
+            acc(j0 + 1, gu >> (16 - o))
     zero = jnp.zeros_like(buckets[0].astype(jnp.uint32))
     cols = [c if c is not None else zero for c in cols]
     cols = modarith.cpu_fusion_barrier(cols)
@@ -179,17 +180,16 @@ def _recombine_q45_bal(buckets: List) -> jnp.ndarray:
 
     for v, g in enumerate(buckets):
         gu = (g + jnp.int32(_BAL_BIAS)).astype(jnp.uint32)  # < 2^25
-        c0 = gu & 0xFFFF
-        c1 = gu >> 16  # <= 2^9
         p_bit = 8 * v
         j0 = p_bit >> 4
         o = p_bit & 15  # 0 or 8
-        full = c0 << o  # < 2^24
-        acc(j0, full & 0xFFFF)
-        acc(j0 + 1, full >> 16)
-        full2 = c1 << o  # <= 2^17
-        acc(j0 + 1, full2 & 0xFFFF)
-        acc(j0 + 2, full2 >> 16)
+        # exact two-column split (see _recombine_q45)
+        if o == 0:
+            acc(j0, gu & 0xFFFF)
+            acc(j0 + 1, gu >> 16)
+        else:
+            acc(j0, (gu & 0xFF) << 8)
+            acc(j0 + 1, gu >> 8)  # <= 2^17
     zero = jnp.zeros_like(buckets[0].astype(jnp.uint32))
     cols = [c if c is not None else zero for c in cols]
     cols = modarith.cpu_fusion_barrier(cols)

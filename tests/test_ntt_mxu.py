@@ -181,3 +181,34 @@ def test_mxu_boundary_values():
     got = [int(v) for v in from_limbs(np.asarray(ntt_mxu.dft_matmul_apply(plan, x))[:, 0])]
     want = poly.ntt_forward(data, P, _omega(b))
     assert got == want
+
+
+def test_fold_columns_goldilocks_direct_extremes():
+    """Direct check of the digit-level weight fold (round-4 rewrite)
+    against Python-int reduction, incl. maxed-out column accumulators."""
+    import jax
+    import jax.numpy as jnp
+
+    from lambda_snark_tpu.ops import ntt_mxu
+    from lambda_snark_tpu.ops.limb import from_limbs_u64
+
+    p = 18446744069414584321
+    rng = np.random.default_rng(7)
+    zero = jnp.zeros((4, 8), jnp.uint32)
+    fold = jax.jit(
+        lambda cs: ntt_mxu._fold_columns_goldilocks(list(cs), zero)
+    )
+    for trial in range(12):
+        if trial == 0:
+            cols_np = np.full((11, 4, 8), (1 << 21) - 1, dtype=np.uint32)
+        elif trial == 1:
+            cols_np = np.zeros((11, 4, 8), dtype=np.uint32)
+        elif trial == 2:
+            cols_np = np.full((11, 4, 8), 0xFFFF, dtype=np.uint32)
+        else:
+            cols_np = rng.integers(0, 1 << 21, size=(11, 4, 8), dtype=np.uint32)
+        out = np.asarray(fold(tuple(jnp.asarray(c) for c in cols_np)))
+        got = from_limbs_u64(out)
+        for idx in np.ndindex(4, 8):
+            want = sum(int(cols_np[j][idx]) << (16 * j) for j in range(11)) % p
+            assert int(got[idx]) == want, (trial, idx)
