@@ -489,7 +489,13 @@ def prove_r1cs_succinct(
     # hiding on their own); the masked Q~ is bound by its Merkle root. This
     # also keeps the message within the ring degree regardless of mask_len.
     commitment_q, _op = lwe.commit(ctx, q_coeffs, seed)
-    comm_words = list(commitment_q.as_words()) + _roots_to_words(roots)
+    # ndarray word vector: the transcript packer's vectorized path
+    comm_words = np.concatenate(
+        [
+            np.asarray(commitment_q.words, dtype=np.uint64),
+            np.array(_roots_to_words(roots), dtype=np.uint64),
+        ]
+    )
     public_inputs = r1cs.public_inputs(witness)
     ch_alpha, ch_beta = derive_dual(public_inputs, comm_words, q)
     alpha, beta = ch_alpha.alpha, ch_beta.alpha
@@ -620,8 +626,11 @@ def verify_r1cs_succinct(
         return False
 
     # 1. dual challenges bind LWE words + all four Merkle roots
-    comm_words = list(proof.commitment_q.as_words()) + _roots_to_words(
-        proof.input_roots
+    comm_words = np.concatenate(
+        [
+            np.asarray(proof.commitment_q.words, dtype=np.uint64),
+            np.array(_roots_to_words(proof.input_roots), dtype=np.uint64),
+        ]
     )
     ch_alpha = Challenge.derive(public_inputs, comm_words, q)
     if proof.challenge_alpha.alpha != ch_alpha.alpha:
@@ -660,10 +669,14 @@ def verify_r1cs_succinct(
         out = []
         for pos, vals in ((index, lo_vals), (index + half, hi_vals)):
             x = offset * pow(omega_n, pos, q) % q
-            ia = field.mod_inverse((x - alpha) % q, q)
-            ib = field.mod_inverse((x - beta) % q, q)
-            if ia is None or ib is None:
+            # paired inversion: one Fermat inverse for both denominators
+            da = (x - alpha) % q
+            db = (x - beta) % q
+            iab = field.mod_inverse(da * db % q, q)
+            if iab is None:
                 raise DomainError("challenge point on the evaluation domain")
+            ia = iab * db % q
+            ib = iab * da % q
             acc = 0
             lam_pow = 1
             for k, fv in enumerate(vals):
