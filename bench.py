@@ -36,7 +36,7 @@ REF_M20_SECONDS = 0.218  # reference extrapolated NTT time at m=2^20
 REF_PROOFS_PER_S = 170.0  # reference 5.9 ms/proof at m=10 (BASELINE.md)
 
 _START = time.time()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 
 
 def _remaining() -> float:
@@ -794,9 +794,9 @@ def main():
             bench_ntt_section,
             bench_proofs_per_sec,
             bench_sha3,
+            bench_succinct_scale,
             bench_secondary,
             bench_aggregate,
-            bench_succinct_scale,
         ):
             section: dict = {}
             stop = False
