@@ -762,6 +762,25 @@ def main():
     global _START
     gate_failed = False
     out: dict = {}
+    emitted = {"done": False}
+
+    def emit_line():
+        # the driver-parsed contract: exactly ONE JSON line, even if an
+        # external timeout SIGTERMs us mid-section (round-1 died rc=124
+        # with no line at all)
+        if not emitted["done"]:
+            emitted["done"] = True
+            print(json.dumps(_final_line(out)))
+            sys.stdout.flush()
+
+    import signal
+
+    def _on_term(signum, frame):
+        out.setdefault("killed", f"signal {signum}")
+        emit_line()
+        os._exit(124)
+
+    signal.signal(signal.SIGTERM, _on_term)
 
     def dump():
         path = os.path.join(
@@ -817,8 +836,7 @@ def main():
         out["fatal"] = f"{type(e).__name__}: {e}"[:300]
         dump()
 
-    print(json.dumps(_final_line(out)))
-    sys.stdout.flush()
+    emit_line()
     if gate_failed:
         sys.exit(1)
 

@@ -89,6 +89,7 @@ class ShardedProver:
         )
         self.m = m
         self.q = q
+        self.host_ctx = host_ctx
         self.mesh = mesh
         self.dp = dp_axis
         self.sp = sp_axis

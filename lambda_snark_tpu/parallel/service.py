@@ -63,10 +63,13 @@ class ShardedProofService:
                 prover.m != r1cs.m
                 or prover.q != r1cs.modulus
                 or prover.mesh is not mesh
+                or prover.host_ctx is not host_ctx
+                or prover.dp != dp_axis
+                or prover.sp != sp_axis
             ):
                 raise DomainError(
                     "supplied prover does not match this service's "
-                    "circuit/mesh"
+                    "circuit/mesh/commitment context/axes"
                 )
             self.prover = prover
         else:

@@ -455,6 +455,13 @@ class FriQuery:
             raise SerializationError("truncated FRI query")
         n_in, n_layer = struct.unpack_from("<HH", data, off)
         off += 4
+        # bounds double as a loud failure for pre-0.7 blobs (u8 counts):
+        # reinterpreting old bytes as <HH yields absurd counts here
+        if n_in > 4 * 4096 or n_layer > 64:
+            raise SerializationError(
+                f"unreasonable FRI query counts ({n_in}, {n_layer}) — "
+                "possibly a pre-0.7 proof blob (u8 count fields)"
+            )
         ins = []
         for _ in range(n_in):
             op, off = LayerOpening.read(data, off)

@@ -332,10 +332,13 @@ def prove_r1cs_succinct_batch(
     from . import fri as fri_mod
 
     device_fri = device_lde and fri_mod.DEVICE_HASH
+    from . import fri_device as _frid
+
     if (
         pipeline_chunk
         and not zk
         and device_fri
+        and _frid.DEVICE_TRANSCRIPT
         and _gl_frontend_applicable(r1cs)
         and ctx.n >= r1cs.m
         and len(witnesses) > pipeline_chunk
@@ -357,15 +360,9 @@ def prove_r1cs_succinct_batch(
 
     stage("prove:frontend-done")
     # per-statement FRI transcripts + batched DEEP quotient
-    trs = []
-    lams = np.empty(s, dtype=np.uint64)
-    for i in range(s):
-        tr = _seed_fri_transcript(
-            q, m, mask_len, params, d_bound, roots[i],
-            int(alphas[i]), int(betas[i]), [int(v) for v in evals[i]],
-        )
-        lams[i] = tr.challenge_field(q, b"fri-lambda")
-        trs.append(tr)
+    trs, lams = _seed_batch_transcripts(
+        q, m, mask_len, params, d_bound, roots, alphas, betas, evals
+    )
 
     # batched FRI (DEEP quotient on device for the device-resident path)
     if fe.forest is not None:
@@ -436,6 +433,45 @@ def prove_r1cs_succinct_batch(
     ]
 
 
+def _derive_batch_challenges(r1cs, witnesses, commitments, roots, q):
+    """Per-statement dual Fiat-Shamir challenges binding LWE words + the
+    four Merkle roots (shared by the device front-end and the pipelined
+    prover — ONE implementation so the byte contract has one home)."""
+    s = len(commitments)
+    alphas = np.empty(s, dtype=np.uint64)
+    betas = np.empty(s, dtype=np.uint64)
+    chals = []
+    for i in range(s):
+        comm_words = np.concatenate(
+            [
+                commitments[i].words,
+                np.array(_roots_to_words(roots[i]), dtype=np.uint64),
+            ]
+        )
+        ch_alpha, ch_beta = derive_dual(
+            r1cs.public_inputs(witnesses[i]), comm_words, q
+        )
+        chals.append((ch_alpha, ch_beta))
+        alphas[i] = ch_alpha.alpha
+        betas[i] = ch_beta.alpha
+    return chals, alphas, betas
+
+
+def _seed_batch_transcripts(q, m, mask_len, params, d_bound, roots,
+                            alphas, betas, evals):
+    """Per-statement FRI transcripts + lambda challenges (one home)."""
+    trs = []
+    lams = np.empty(len(roots), dtype=np.uint64)
+    for i in range(len(roots)):
+        tr = _seed_fri_transcript(
+            q, m, mask_len, params, d_bound, roots[i],
+            int(alphas[i]), int(betas[i]), [int(v) for v in evals[i]],
+        )
+        lams[i] = tr.challenge_field(q, b"fri-lambda")
+        trs.append(tr)
+    return trs, lams
+
+
 def _device_frontend(
     r1cs: R1CS,
     witnesses,
@@ -478,23 +514,9 @@ def _device_frontend(
         )
     stage("frontend:lde-pulled")
     roots = [list(forest.roots[4 * i : 4 * i + 4]) for i in range(s)]
-    alphas = np.empty(s, dtype=np.uint64)
-    betas = np.empty(s, dtype=np.uint64)
-    chals = []
-    for i in range(s):
-        # ndarray word vector: the transcript packer takes its vectorized path
-        comm_words = np.concatenate(
-            [
-                commitments[i].words,
-                np.array(_roots_to_words(roots[i]), dtype=np.uint64),
-            ]
-        )
-        ch_alpha, ch_beta = derive_dual(
-            r1cs.public_inputs(witnesses[i]), comm_words, q
-        )
-        chals.append((ch_alpha, ch_beta))
-        alphas[i] = ch_alpha.alpha
-        betas[i] = ch_beta.alpha
+    chals, alphas, betas = _derive_batch_challenges(
+        r1cs, witnesses, commitments, roots, q
+    )
 
     stage("frontend:challenges")
     evals = sd.eval_device(polys_dev, alphas, betas)
@@ -535,21 +557,26 @@ def _embed_and_eval(r1cs: R1CS, witnesses):
             raise InvalidDimensionsError(
                 f"witness {i} length {len(w)} must equal n={n}"
             )
-        if (
-            isinstance(w, np.ndarray)
-            and w.dtype == np.uint64
-            and bool((w < q).all())
-        ):
-            z[i] = w
-        else:
+        # Fast paths must NEVER go through np.asarray(..., dtype=np.uint64)
+        # on signed numpy values: int64 arrays (and np.int64 scalars inside
+        # lists) wrap mod 2^64 SILENTLY, and the wrapped value can pass the
+        # < q guard (e.g. -2^33 -> 2^64 - 2^33 < Goldilocks q).
+        arr = None
+        if isinstance(w, np.ndarray):
+            if w.dtype == np.uint64:
+                arr = w
+            elif np.issubdtype(w.dtype, np.integer) and bool((w >= 0).all()):
+                arr = w.astype(np.uint64)
+        elif type(w) is list and all(type(v) is int for v in w):
+            # pure-Python ints: the uint64 cast raises on negative/oversized
             try:
                 arr = np.asarray(w, dtype=np.uint64)
             except (OverflowError, TypeError, ValueError):
                 arr = None
-            if arr is not None and bool((arr < q).all()):
-                z[i] = arr
-            else:
-                z[i] = np.array([v % q for v in w], dtype=np.uint64)
+        if arr is not None and bool((arr < q).all()):
+            z[i] = arr
+        else:
+            z[i] = np.array([int(v) % q for v in w], dtype=np.uint64)
     az = _spmv_batch(r1cs.a, z, q)
     bz = _spmv_batch(r1cs.b, z, q)
     cz = _spmv_batch(r1cs.c, z, q)
@@ -761,32 +788,13 @@ def _prove_pipelined(
         commitments, forest = sd.finish_quotient_lde(deferred)
         sc = sl.stop - sl.start
         roots = [list(forest.roots[4 * i : 4 * i + 4]) for i in range(sc)]
-        alphas = np.empty(sc, dtype=np.uint64)
-        betas = np.empty(sc, dtype=np.uint64)
-        chals = []
-        for i in range(sc):
-            comm_words = np.concatenate(
-                [
-                    commitments[i].words,
-                    np.array(_roots_to_words(roots[i]), dtype=np.uint64),
-                ]
-            )
-            ch_alpha, ch_beta = derive_dual(
-                r1cs.public_inputs(witnesses[sl.start + i]), comm_words, q
-            )
-            chals.append((ch_alpha, ch_beta))
-            alphas[i] = ch_alpha.alpha
-            betas[i] = ch_beta.alpha
+        chals, alphas, betas = _derive_batch_challenges(
+            r1cs, witnesses[sl.start : sl.stop], commitments, roots, q
+        )
         evals = sd.eval_device(polys_dev, alphas, betas)
-        trs = []
-        lams = np.empty(sc, dtype=np.uint64)
-        for i in range(sc):
-            tr = _seed_fri_transcript(
-                q, m, mask_len, params, d_bound, roots[i],
-                int(alphas[i]), int(betas[i]), [int(v) for v in evals[i]],
-            )
-            lams[i] = tr.challenge_field(q, b"fri-lambda")
-            trs.append(tr)
+        trs, lams = _seed_batch_transcripts(
+            q, m, mask_len, params, d_bound, roots, alphas, betas, evals
+        )
         input_planes = lde.reshape(4, sc, 4, n0)
         g_planes = fri_device.deep_combine_device(
             input_planes, alphas, betas, lams, evals, offset, omega_n

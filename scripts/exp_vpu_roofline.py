@@ -50,8 +50,6 @@ def main():
     rows = m // 128
     x2r = jnp.reshape(x2, (2, rows, 128))
 
-    # leaf weight matrix of the first level (128-point DFT, balanced)
-    leaf = plan.plan_r.leaf if plan.plan_r is not None else plan.leaf
     # walk the plan tree to a 128-leaf DftMatmulPlan
     node = plan
     while getattr(node, "leaf", None) is None:

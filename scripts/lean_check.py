@@ -110,6 +110,13 @@ def main() -> int:
                 parts.append(f.read())
         with open(src) as f:
             parts.append(f.read())
+        # close scopes innermost-first: every `... section` opener in the
+        # preamble needs a bare `end` before the namespace's named end
+        # (the reference test files do exactly this, e.g.
+        # HealthcareCircuit.lean ends with `end` then `end LambdaSNARK.Tests`)
+        for line in reversed(preamble):
+            if line.endswith("section"):
+                parts.append("end")
         parts.append("end LambdaSNARK.Tests")
         wrapper = os.path.join(pkg, f"ArtifactCheck_{name}")
         with open(wrapper, "w") as f:

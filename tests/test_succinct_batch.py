@@ -303,3 +303,44 @@ def test_cli_prove_stream(tmp_path):
         "--proof", str(tmp_path / "base_proofs" / "2.proof"), "--public", "1",
     ])
     assert rc == 0
+
+
+def test_embed_rejects_silent_numpy_wrap():
+    """Signed numpy inputs must embed as v % q, never as the silent
+    mod-2^64 wrap (np.asarray(int64, uint64) wraps without raising and
+    -2^33 wraps to a value BELOW the Goldilocks modulus)."""
+    from lambda_snark_tpu.proof.succinct_batch import _embed_and_eval
+    from lambda_snark_tpu.r1cs.circuit import CircuitBuilder
+
+    b = CircuitBuilder(GL)
+    b.alloc_var()
+    xs = b.alloc_vars(2)
+    ys = b.alloc_vars(2)
+    b.set_public_inputs(1)
+    for x, y in zip(xs, ys):
+        b.mul_gate(x, x, y)
+    r1cs = b.build()
+    # -2^33 is int64-representable AND its silent 2^64-wrap
+    # (2^64 - 2^33) is still below the Goldilocks modulus — the exact
+    # trap: the wrapped value passes a < q guard but differs from v % q
+    neg = -(2**33)
+    a_val = neg % GL
+    w_canon = [1, a_val, 5, a_val * a_val % GL, 25]
+    ref = _embed_and_eval(r1cs, [w_canon])
+    # Python-int negative representative
+    got = _embed_and_eval(r1cs, [[1, neg, 5, a_val * a_val % GL, 25]])
+    for a, g in zip(ref, got):
+        assert np.array_equal(a, g)
+    # np.int64 scalar inside a list (silently wraps under a raw uint64 cast)
+    got2 = _embed_and_eval(
+        r1cs, [[1, np.int64(neg), 5, a_val * a_val % GL, 25]]
+    )
+    for a, g in zip(ref, got2):
+        assert np.array_equal(a, g)
+    # int64 ndarray witness (the np.asarray(..., uint64) wrap case)
+    got3 = _embed_and_eval(
+        r1cs,
+        [np.array([1, neg, 5, a_val * a_val % GL, 25], dtype=np.int64)],
+    )
+    for a, g in zip(ref, got3):
+        assert np.array_equal(a, g)
