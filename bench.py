@@ -687,9 +687,9 @@ def bench_aggregate(out=None):
     sep_bytes = sum(len(p.to_bytes()) for p in batch)
     out["aggregate_vs_separate_bytes"] = len(agg.to_bytes()) / sep_bytes
 
-    # the amortization sweet spot (BENCH_NOTES curve): m=2^10, S=64
-    _checkpoint(150)
-    m2, s2 = 1 << 10, 64
+    # the amortization sweet spot (BENCH_NOTES curve): m=2^10, S=128
+    _checkpoint(200)
+    m2, s2 = 1 << 10, 128
     r1cs2, w2, seeds2, ctx2 = _succinct_instance(m2, s2)
     for tag in ("cold", "warm"):
         t0 = time.time()
@@ -697,10 +697,10 @@ def bench_aggregate(out=None):
             r1cs2, w2, ctx2, seeds2, device_lde=True
         )
         out[f"aggregate_prove_batch{s2}_m2pow10_{tag}_s"] = time.time() - t0
-    out["aggregate_proofs_per_s_m2pow10_s64"] = s2 / out[
+    out["aggregate_proofs_per_s_m2pow10_s128"] = s2 / out[
         f"aggregate_prove_batch{s2}_m2pow10_warm_s"
     ]
-    out["aggregate_bytes_per_statement_m2pow10_s64"] = (
+    out["aggregate_bytes_per_statement_m2pow10_s128"] = (
         len(agg2.to_bytes()) / s2
     )
     return out
@@ -717,7 +717,7 @@ _HEADLINE_KEYS = (
     "ntt_mbutterflies_per_s_chip_m2pow20",
     "aggregate_proofs_per_s",
     "aggregate_bytes_per_statement",
-    "aggregate_proofs_per_s_m2pow10_s64",
+    "aggregate_proofs_per_s_m2pow10_s128",
     "first_contact_s",
 )
 
