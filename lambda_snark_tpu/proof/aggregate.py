@@ -43,6 +43,7 @@ from ..ops import goldilocks_np as glnp
 from ..r1cs.r1cs import R1CS
 from ..transcript.challenge import Challenge
 from .fri import (
+    MAX_AGGREGATE_STATEMENTS,
     FriParams,
     FriProof,
     FriTranscript,
@@ -53,7 +54,9 @@ from .fri import (
 from .succinct import (
     _MAGIC,
     _MASK_LEN_CAP,
+    WIRE_VERSION,
     _check_instance,
+    _check_wire_version,
     _gl_frontend_applicable,
     _roots_to_words,
 )
@@ -155,7 +158,7 @@ class AggregatedProofR1CS:
         )
 
     def to_bytes(self) -> bytes:
-        out = _MAGIC + bytes([KIND_R1CS_AGGREGATE])
+        out = _MAGIC + bytes([KIND_R1CS_AGGREGATE, WIRE_VERSION])
         out += struct.pack("<QQIBHH", self.modulus, self.m, self.mask_len,
                            self.log_blowup, self.num_queries, self.final_len)
         out += struct.pack("<H", len(self.statements))
@@ -168,7 +171,7 @@ class AggregatedProofR1CS:
     def from_bytes(data: bytes) -> "AggregatedProofR1CS":
         if len(data) < 9 or data[:8] != _MAGIC or data[8] != KIND_R1CS_AGGREGATE:
             raise SerializationError("bad aggregated-proof header")
-        off = 9
+        off = _check_wire_version(data, 9)
         if off + 25 > len(data):
             raise SerializationError("truncated aggregated proof header")
         modulus, m, mask_len, log_blowup, num_queries, final_len = struct.unpack_from(
@@ -179,7 +182,7 @@ class AggregatedProofR1CS:
             raise SerializationError("truncated statement count")
         (n_st,) = struct.unpack_from("<H", data, off)
         off += 2
-        if n_st == 0 or n_st > 4096:
+        if n_st == 0 or n_st > MAX_AGGREGATE_STATEMENTS:
             raise SerializationError("unreasonable statement count")
         statements = []
         for _ in range(n_st):
@@ -251,6 +254,11 @@ def prove_r1cs_succinct_aggregate(
     s = len(witnesses)
     if s == 0:
         raise InvalidDimensionsError("aggregate proving needs at least one witness")
+    if s > MAX_AGGREGATE_STATEMENTS:
+        raise InvalidDimensionsError(
+            f"aggregate batch {s} exceeds MAX_AGGREGATE_STATEMENTS "
+            f"({MAX_AGGREGATE_STATEMENTS})"
+        )
     if len(seeds) != s:
         raise InvalidDimensionsError("need one seed per witness")
     if zk and (blinding_seeds is None or len(blinding_seeds) != s):

@@ -376,6 +376,11 @@ class FriTranscript:
 
 # --- proof containers ---------------------------------------------------------
 
+#: Hard cap on statements in an aggregated (kind-8) proof — shared between
+#: the aggregate serializer and FriQuery.read so the two bounds cannot drift
+#: (ADVICE r4 #2; docs/protocol.md W-4).
+MAX_AGGREGATE_STATEMENTS = 4096
+
 
 @dataclasses.dataclass(frozen=True)
 class FriParams:
@@ -455,9 +460,9 @@ class FriQuery:
             raise SerializationError("truncated FRI query")
         n_in, n_layer = struct.unpack_from("<HH", data, off)
         off += 4
-        # bounds double as a loud failure for pre-0.7 blobs (u8 counts):
-        # reinterpreting old bytes as <HH yields absurd counts here
-        if n_in > 4 * 4096 or n_layer > 64:
+        # defense-in-depth bound (pre-0.7 blobs are already rejected at the
+        # header by the wire-version byte, proof/succinct.py)
+        if n_in > 4 * MAX_AGGREGATE_STATEMENTS or n_layer > 64:
             raise SerializationError(
                 f"unreasonable FRI query counts ({n_in}, {n_layer}) — "
                 "possibly a pre-0.7 proof blob (u8 count fields)"
@@ -711,7 +716,7 @@ def fri_verify(
     inv2 = field.mod_inverse(2, q)
     inv_offset = field.mod_inverse(offset, q)
     inv_omega = field.mod_inverse(omega, q)
-    if inv_offset is None or inv_omega is None:
+    if inv2 is None or inv_offset is None or inv_omega is None:
         return False
 
     for i0, query in zip(indices, proof.queries):

@@ -73,6 +73,25 @@ from .fri import (
 _MAGIC = b"LSNKTPU1"
 KIND_R1CS_SUCCINCT = 7
 
+#: Wire-format version for the FRI-carrying kinds (7/8/9), written right
+#: after the kind byte. Bumped 1 -> 2 when the FriQuery count fields grew
+#: u8 -> u16; pre-0.7 blobs have the modulus LE-word there instead, whose
+#: first byte is odd (every supported modulus is an odd prime), so they are
+#: rejected deterministically at the header (ADVICE r4 #1).
+WIRE_VERSION = 2
+
+
+def _check_wire_version(data: bytes, off: int) -> int:
+    if off >= len(data):
+        raise SerializationError("truncated proof header")
+    ver = data[off]
+    if ver != WIRE_VERSION:
+        raise SerializationError(
+            f"unsupported succinct wire version {ver} (expected "
+            f"{WIRE_VERSION}; odd values indicate a pre-0.7 blob)"
+        )
+    return off + 1
+
 #: Verifier-side cap on the prover-chosen mask length (the degree bound grows
 #: with it; an absurd mask would water down the FRI rate).
 _MASK_LEN_CAP = 4096
@@ -250,7 +269,7 @@ class SuccinctProofR1CS:
         )
 
     def to_bytes(self) -> bytes:
-        out = _MAGIC + bytes([KIND_R1CS_SUCCINCT])
+        out = _MAGIC + bytes([KIND_R1CS_SUCCINCT, WIRE_VERSION])
         out += struct.pack("<QQIBHH", self.modulus, self.m, self.mask_len,
                            self.log_blowup, self.num_queries, self.final_len)
         words = self.commitment_q.as_words()
@@ -265,11 +284,9 @@ class SuccinctProofR1CS:
 
     @staticmethod
     def from_bytes(data: bytes) -> "SuccinctProofR1CS":
-
-
         if len(data) < 9 or data[:8] != _MAGIC or data[8] != KIND_R1CS_SUCCINCT:
             raise SerializationError("bad succinct-proof header")
-        off = 9
+        off = _check_wire_version(data, 9)
         if off + 25 > len(data):
             raise SerializationError("truncated succinct proof header")
         modulus, m, mask_len, log_blowup, num_queries, final_len = struct.unpack_from(
