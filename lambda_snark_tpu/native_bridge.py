@@ -146,6 +146,28 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.export_params_to_lean.restype = ctypes.c_void_p
     lib.export_params_to_lean.argtypes = [ctypes.POINTER(PublicParams)]
     lib.lambda_snark_string_free.argtypes = [ctypes.c_void_p]
+    # batched hashing / Merkle verification (keccak_batch.cpp)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ls_sha3_256_batch.restype = ctypes.c_int
+    lib.ls_sha3_256_batch.argtypes = [u8p, ctypes.c_size_t, ctypes.c_size_t, u8p]
+    lib.ls_merkle_verify_batch.restype = ctypes.c_int
+    lib.ls_merkle_verify_batch.argtypes = [
+        u8p, ctypes.c_size_t, u64p, u8p, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_size_t, u8p, ctypes.c_size_t, u8p,
+    ]
+    # FRI verifier field math (fri_verify.cpp)
+    lib.ls_fri_deep_g_eval.restype = ctypes.c_int
+    lib.ls_fri_deep_g_eval.argtypes = [
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        u64p, ctypes.c_size_t, u64p, u64p, ctypes.c_size_t,
+        u64p, u64p, u64p, u64p, u64p, u64p, u64p, u64p,
+    ]
+    lib.ls_fri_fold_walk.restype = ctypes.c_int
+    lib.ls_fri_fold_walk.argtypes = [
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        u64p, ctypes.c_size_t, u64p, ctypes.c_size_t,
+        u64p, u64p, u64p, u64p, u64p, ctypes.c_size_t,
+    ]
     # gaussian
     lib.sample_gaussian.restype = ctypes.c_int
     lib.sample_gaussian.argtypes = [u64p, ctypes.c_size_t, ctypes.c_double]
@@ -365,6 +387,114 @@ class NativeR1cs:
                 self._lib.lambda_snark_r1cs_free(self._ctx)
         except Exception:
             pass
+
+
+def _u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def sha3_256_batch(msgs: np.ndarray) -> np.ndarray:
+    """SHA3-256 over n equal-length messages: uint8 [n, msg_len] -> [n, 32].
+
+    8-lane SoA Keccak (native/src/keccak_batch.cpp); bit-identical to
+    ``hashlib.sha3_256`` per row (asserted in tests/test_native.py).
+    """
+    lib = _load()
+    assert lib is not None
+    msgs = np.ascontiguousarray(msgs, dtype=np.uint8)
+    n, msg_len = msgs.shape
+    out = np.empty((n, 32), dtype=np.uint8)
+    rc = lib.ls_sha3_256_batch(_u8p(msgs), msg_len, n, _u8p(out))
+    if rc != 0:
+        raise RuntimeError(f"ls_sha3_256_batch failed: {rc}")
+    return out
+
+
+def merkle_verify_batch(
+    leaves: np.ndarray,
+    indices: np.ndarray,
+    siblings: np.ndarray,
+    depths: np.ndarray,
+    roots: np.ndarray,
+) -> np.ndarray:
+    """Verify many Merkle authentication paths in one native call.
+
+    leaves  uint8 [lanes, leaf_len]; indices uint64 [lanes];
+    siblings uint8 [lanes, max_depth, 32] (only the first depths[i] used);
+    depths uint32 [lanes]; roots uint8 [lanes, 32]. Returns bool [lanes].
+    Semantics identical to ``proof.merkle.verify_path`` per lane.
+    """
+    lib = _load()
+    assert lib is not None
+    leaves = np.ascontiguousarray(leaves, dtype=np.uint8)
+    indices = np.ascontiguousarray(indices, dtype=np.uint64)
+    siblings = np.ascontiguousarray(siblings, dtype=np.uint8)
+    depths = np.ascontiguousarray(depths, dtype=np.uint32)
+    roots = np.ascontiguousarray(roots, dtype=np.uint8)
+    lanes, leaf_len = leaves.shape
+    max_depth = siblings.shape[1] if siblings.ndim == 3 else 0
+    ok = np.empty(lanes, dtype=np.uint8)
+    rc = lib.ls_merkle_verify_batch(
+        _u8p(leaves), leaf_len, _u64p(indices), _u8p(siblings),
+        depths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), max_depth,
+        _u8p(roots), lanes, _u8p(ok),
+    )
+    if rc != 0:
+        raise RuntimeError(f"ls_merkle_verify_batch failed: {rc}")
+    return ok.astype(bool)
+
+
+def fri_deep_g_eval(q, offset, omega, n0, indices, in_lo, in_hi,
+                    wa, wb, ea, eb, alphas, betas):
+    """Native batched DEEP virtual-oracle evaluation (fri_verify.cpp).
+
+    Returns (g_lo, g_hi) uint64 arrays, or None if a denominator vanished
+    (the verifier must reject). Semantics pinned to the Python g_eval in
+    proof/succinct.py / proof/aggregate.py.
+    """
+    lib = _load()
+    assert lib is not None
+    indices = np.ascontiguousarray(indices, dtype=np.uint64)
+    in_lo = np.ascontiguousarray(in_lo, dtype=np.uint64)
+    in_hi = np.ascontiguousarray(in_hi, dtype=np.uint64)
+    n_q = len(indices)
+    n_in = in_lo.shape[1] if in_lo.ndim == 2 else 0
+    arrs = [np.ascontiguousarray(a, dtype=np.uint64)
+            for a in (wa, wb, ea, eb, alphas, betas)]
+    g_lo = np.empty(n_q, dtype=np.uint64)
+    g_hi = np.empty(n_q, dtype=np.uint64)
+    rc = lib.ls_fri_deep_g_eval(
+        q, offset, omega, n0, _u64p(indices), n_q, _u64p(in_lo),
+        _u64p(in_hi), n_in, *(_u64p(a) for a in arrs), _u64p(g_lo),
+        _u64p(g_hi),
+    )
+    if rc == -1:
+        return None
+    if rc != 0:
+        raise RuntimeError(f"ls_fri_deep_g_eval failed: {rc}")
+    return g_lo, g_hi
+
+
+def fri_fold_walk(q, offset, omega, n0, fold_challenges, indices,
+                  g_lo, g_hi, lay_lo, lay_hi, final_coeffs) -> bool:
+    """Native fold-consistency walk over all queries (fri_verify.cpp)."""
+    lib = _load()
+    assert lib is not None
+    fc = np.ascontiguousarray(fold_challenges, dtype=np.uint64)
+    idx = np.ascontiguousarray(indices, dtype=np.uint64)
+    g_lo = np.ascontiguousarray(g_lo, dtype=np.uint64)
+    g_hi = np.ascontiguousarray(g_hi, dtype=np.uint64)
+    lay_lo = np.ascontiguousarray(lay_lo, dtype=np.uint64)
+    lay_hi = np.ascontiguousarray(lay_hi, dtype=np.uint64)
+    fin = np.ascontiguousarray(final_coeffs, dtype=np.uint64)
+    rc = lib.ls_fri_fold_walk(
+        q, offset, omega, n0, _u64p(fc), len(fc), _u64p(idx), len(idx),
+        _u64p(g_lo), _u64p(g_hi), _u64p(lay_lo), _u64p(lay_hi), _u64p(fin),
+        len(fin),
+    )
+    if rc < 0:
+        raise RuntimeError(f"ls_fri_fold_walk failed: {rc}")
+    return rc == 1
 
 
 def params_to_lean(n: int, k: int, q: int, sigma: float, lam: int = 128) -> str:

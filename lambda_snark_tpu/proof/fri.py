@@ -412,15 +412,33 @@ class FriParams:
 
 @dataclasses.dataclass(frozen=True)
 class LayerOpening:
-    """One authenticated codeword pair (v[i], v[i + N/2]) with its path."""
+    """One authenticated codeword pair (v[i], v[i + N/2]) with its path.
+
+    ``path`` holds the sibling digests bottom-up as ONE contiguous bytes
+    blob (len = 32 * depth) — contiguous storage keeps deserialization a
+    single slice and lets the batched native verifier pack all paths
+    without touching thousands of small objects. Constructors may pass a
+    sequence of 32-byte digests; it is normalized on construction.
+    """
 
     v_lo: int
     v_hi: int
-    path: Tuple[bytes, ...]
+    path: bytes
+
+    def __post_init__(self) -> None:
+        if not isinstance(self.path, (bytes, bytearray)):
+            object.__setattr__(self, "path", b"".join(self.path))
+
+    @property
+    def path_nodes(self) -> Tuple[bytes, ...]:
+        """The per-level sibling digests (32-byte chunks of ``path``)."""
+        return tuple(
+            self.path[i : i + 32] for i in range(0, len(self.path), 32)
+        )
 
     def to_bytes(self) -> bytes:
-        out = struct.pack("<QQB", self.v_lo, self.v_hi, len(self.path))
-        return out + b"".join(self.path)
+        out = struct.pack("<QQB", self.v_lo, self.v_hi, len(self.path) // 32)
+        return out + self.path
 
     @staticmethod
     def read(data: bytes, off: int) -> Tuple["LayerOpening", int]:
@@ -428,13 +446,10 @@ class LayerOpening:
             raise SerializationError("truncated FRI opening")
         v_lo, v_hi, plen = struct.unpack_from("<QQB", data, off)
         off += 17
-        path = []
-        for _ in range(plen):
-            if off + 32 > len(data):
-                raise SerializationError("truncated FRI path")
-            path.append(data[off : off + 32])
-            off += 32
-        return LayerOpening(v_lo, v_hi, tuple(path)), off
+        end = off + 32 * plen
+        if end > len(data):
+            raise SerializationError("truncated FRI path")
+        return LayerOpening(v_lo, v_hi, data[off:end]), end
 
 
 @dataclasses.dataclass(frozen=True)
@@ -670,6 +685,148 @@ def fri_prove(
 
 # --- verifier ----------------------------------------------------------------
 
+#: module knob: use the native batched Merkle/SHA3 verifier when the C++
+#: library is available (tests flip it to pin native/host parity)
+NATIVE_VERIFY = True
+
+_native_mod = None
+
+
+def _native():
+    """The native_bridge module if the C++ library loads, else None."""
+    global _native_mod
+    if _native_mod is None:
+        try:
+            from .. import native_bridge
+
+            _native_mod = native_bridge if native_bridge.available() else False
+        except Exception:  # pragma: no cover - import/build failure
+            _native_mod = False
+    return _native_mod or None
+
+
+def _gl_pow_vec(base: int, exps: np.ndarray) -> np.ndarray:
+    """Elementwise base^exps[i] mod Goldilocks (per-element exponents)."""
+    exps = np.asarray(exps, dtype=np.uint64)
+    out = np.ones(exps.shape, dtype=np.uint64)
+    b = base % glnp.GOLDILOCKS
+    e = exps.copy()
+    maxbits = int(exps.max()).bit_length() if exps.size else 0
+    for _ in range(maxbits):
+        sel = (e & np.uint64(1)).astype(bool)
+        if sel.any():
+            out[sel] = glnp.gl_mul(out[sel], np.uint64(b))
+        b = b * b % glnp.GOLDILOCKS
+        e >>= np.uint64(1)
+    return out
+
+
+def batch_inverse_u64(vals: np.ndarray, q: int) -> np.ndarray:
+    """Montgomery batch inversion of a uint64 array (host ints under the
+    hood — sized for the verifier's ~2*num_queries denominators)."""
+    out = batch_inverse([int(v) for v in vals], q)
+    return np.array(out, dtype=np.uint64)
+
+
+def _query_positions(indices, n0: int, n_layers: int) -> np.ndarray:
+    """Per-query leaf positions at the input level and each committed fold
+    layer: pos[:, 0] = i0; pos[:, k+1] = pos[:, k] % (n0 >> (k+2)).
+
+    Pure index arithmetic — shared by the path collector and the fold walk.
+    """
+    q_n = len(indices)
+    pos = np.empty((q_n, n_layers + 1), dtype=np.int64)
+    pos[:, 0] = np.asarray(indices, dtype=np.int64)
+    for k in range(n_layers):
+        pos[:, k + 1] = pos[:, k] % (n0 >> (k + 2))
+    return pos
+
+
+def _verify_paths_native(
+    proof: "FriProof",
+    input_roots: Sequence[bytes],
+    indices: Sequence[int],
+    pos: np.ndarray,
+    n0: int,
+    in_vals: np.ndarray,
+    lay_vals: np.ndarray,
+) -> bool:
+    """Authenticate every input/layer opening of every query in ONE native
+    call (8-lane SoA Keccak, native/src/keccak_batch.cpp). Semantics are
+    exactly those of the per-path host loop (pinned in tests).
+
+    ``in_vals``/``lay_vals``: uint64 [q_n, n, 2] opened (lo, hi) values,
+    collected once by the caller (shared with the field-math stage).
+    """
+    nb = _native()
+    q_n = len(indices)
+    n_in = len(input_roots)
+    n_layers = len(proof.layer_roots)
+    depth_in = (n0 // 2).bit_length() - 1
+    layer_depths = [(n0 >> (k + 2)).bit_length() - 1 for k in range(n_layers)]
+    max_depth = max([depth_in] + layer_depths) if q_n else 0
+    lanes = q_n * (n_in + n_layers)
+    if lanes == 0:
+        return True
+
+    leaves = np.empty((lanes, 16), dtype=np.uint8)
+    lane_idx = np.empty(lanes, dtype=np.uint64)
+    sib = np.zeros((lanes, max_depth, 32), dtype=np.uint8)
+    depths = np.empty(lanes, dtype=np.uint32)
+    roots = np.empty((lanes, 32), dtype=np.uint8)
+
+    # input lanes: query-major, oracle-minor (lanes [0, q_n*n_in))
+    n_in_lanes = q_n * n_in
+    leaves[:n_in_lanes] = in_vals.reshape(n_in_lanes, 2).view(np.uint8)
+    lane_idx[:n_in_lanes] = np.repeat(
+        np.asarray(indices, dtype=np.uint64), n_in
+    )
+    depths[:n_in_lanes] = depth_in
+    root_block = np.frombuffer(b"".join(input_roots), dtype=np.uint8).reshape(
+        n_in, 32
+    )
+    roots[:n_in_lanes] = np.tile(root_block, (q_n, 1))
+    path_blob = b"".join(
+        op.path for qy in proof.queries for op in qy.input_openings
+    )
+    # path lengths were checked exactly by the caller
+    sib[:n_in_lanes, :depth_in] = np.frombuffer(
+        path_blob, dtype=np.uint8
+    ).reshape(n_in_lanes, depth_in, 32)
+
+    # layer lanes: query-major, layer-minor
+    off = n_in_lanes
+    leaves[off:] = lay_vals.reshape(q_n * n_layers, 2).view(np.uint8)
+    lane_idx[off:] = pos[:, 1:].astype(np.uint64).reshape(-1)
+    layer_root_block = (
+        np.frombuffer(b"".join(proof.layer_roots), dtype=np.uint8).reshape(
+            n_layers, 32
+        )
+        if n_layers
+        else np.empty((0, 32), dtype=np.uint8)
+    )
+    roots[off:] = np.tile(layer_root_block, (q_n, 1))
+    depths[off:] = np.tile(
+        np.asarray(layer_depths, dtype=np.uint32), q_n
+    )
+    lay_blob = b"".join(
+        op.path for qy in proof.queries for op in qy.layer_openings
+    )
+    if n_layers:
+        stride = sum(layer_depths) * 32  # bytes per query's layer paths
+        blob_arr = np.frombuffer(lay_blob, dtype=np.uint8).reshape(q_n, stride)
+        lay_sib = sib[off:].reshape(q_n, n_layers, max_depth, 32)
+        cursor = 0
+        for k in range(n_layers):
+            d = layer_depths[k]
+            lay_sib[:, k, :d] = blob_arr[
+                :, cursor : cursor + d * 32
+            ].reshape(q_n, d, 32)
+            cursor += d * 32
+
+    ok = nb.merkle_verify_batch(leaves, lane_idx, sib, depths, roots)
+    return bool(ok.all())
+
 
 def fri_verify(
     proof: FriProof,
@@ -681,12 +838,27 @@ def fri_verify(
     q: int,
     params: FriParams,
     tr: FriTranscript,
+    deep=None,
 ) -> bool:
     """Verify a FriProof.
 
     ``g_eval(index, half, lo_values, hi_values) -> (g_lo, g_hi)`` computes the
     virtual oracle at positions ``index`` and ``index + half`` from the
     authenticated per-input codeword values (one lo/hi pair per input oracle).
+
+    ``deep`` optionally supplies the standard batched-DEEP oracle shape as
+    six length-``n_in`` arrays ``(wa, wb, ea, eb, alphas, betas)`` meaning
+    ``g(x) = sum_k wa[k] (f_k(x)-ea[k])/(x-alphas[k]) + wb[k]
+    (f_k(x)-eb[k])/(x-betas[k])``; with it and the native library present,
+    path authentication, oracle evaluation and the fold walk each run as one
+    C call (8-lane Keccak + __uint128 field math) — same accept/reject
+    decisions as the scalar path (pinned in tests).
+
+    All opened codeword values must be canonical (< q) and every path must
+    have the exact tree depth; both are rejected up front on every path (an
+    honest prover never violates them, and the scalar arithmetic would
+    reject them downstream anyway — the explicit check keeps the fast and
+    golden paths decision-identical).
     """
     params.validate()
     d_bound = n0 >> params.log_blowup
@@ -719,57 +891,127 @@ def fri_verify(
     if inv2 is None or inv_offset is None or inv_omega is None:
         return False
 
-    for i0, query in zip(indices, proof.queries):
-        if len(query.input_openings) != len(input_roots):
+    n_in = len(input_roots)
+    n_layers = len(proof.layer_roots)
+    q_n = len(indices)
+    depth_in = (n0 // 2).bit_length() - 1
+    layer_depths = [(n0 >> (k + 2)).bit_length() - 1 for k in range(n_layers)]
+    for query in proof.queries:
+        if len(query.input_openings) != n_in:
             return False
-        if len(query.layer_openings) != len(proof.layer_roots):
+        if len(query.layer_openings) != n_layers:
             return False
-        # authenticate the input oracles at the pair (i0, i0 + n0/2)
-        half0 = n0 // 2
-        lo_vals: List[int] = []
-        hi_vals: List[int] = []
+        for op in query.input_openings:
+            if len(op.path) != 32 * depth_in:
+                return False
+        for k, op in enumerate(query.layer_openings):
+            if len(op.path) != 32 * layer_depths[k]:
+                return False
+    try:
+        in_vals = np.array(
+            [
+                [(op.v_lo, op.v_hi) for op in qy.input_openings]
+                for qy in proof.queries
+            ],
+            dtype=np.uint64,
+        ).reshape(q_n, n_in, 2)
+        lay_vals = np.array(
+            [
+                [(op.v_lo, op.v_hi) for op in qy.layer_openings]
+                for qy in proof.queries
+            ],
+            dtype=np.uint64,
+        ).reshape(q_n, n_layers, 2)
+    except (ValueError, OverflowError):
+        return False
+    # canonicity: honest provers only emit reduced values; rejecting
+    # non-canonical encodings up front keeps every path decision-identical
+    if int(in_vals.max(initial=0)) >= q or int(lay_vals.max(initial=0)) >= q:
+        return False
+
+    pos = _query_positions(indices, n0, n_layers)
+    half0 = n0 // 2
+
+    # fast path: native batched hashing + native field math in three calls
+    use_native = NATIVE_VERIFY and _native() is not None
+    if use_native:
+        nb = _native()
+        if not _verify_paths_native(
+            proof, input_roots, indices, pos, n0, in_vals, lay_vals
+        ):
+            return False
+        idx_arr = np.asarray(indices, dtype=np.uint64)
+        in_lo = in_vals[:, :, 0]
+        in_hi = in_vals[:, :, 1]
+        lay_lo = lay_vals[:, :, 0]
+        lay_hi = lay_vals[:, :, 1]
+        if deep is not None:
+            g = nb.fri_deep_g_eval(
+                q, offset, omega, n0, idx_arr, in_lo, in_hi, *deep
+            )
+            if g is None:
+                return False
+            g_lo, g_hi = g
+        else:
+            g_lo = np.empty(len(indices), dtype=np.uint64)
+            g_hi = np.empty(len(indices), dtype=np.uint64)
+            try:
+                for qi, i0 in enumerate(indices):
+                    g_lo[qi], g_hi[qi] = g_eval(
+                        i0, half0,
+                        [int(v) for v in in_lo[qi]],
+                        [int(v) for v in in_hi[qi]],
+                    )
+            except DomainError:
+                return False
+        return nb.fri_fold_walk(
+            q, offset, omega, n0, [c % q for c in fold_challenges], idx_arr,
+            g_lo, g_hi, lay_lo, lay_hi, [c % q for c in proof.final_coeffs],
+        )
+
+    for qi, (i0, query) in enumerate(zip(indices, proof.queries)):
         for op, root in zip(query.input_openings, input_roots):
             leaf = struct.pack("<QQ", op.v_lo, op.v_hi)
             if not verify_path(root, i0, leaf, op.path):
                 return False
-            lo_vals.append(op.v_lo)
-            hi_vals.append(op.v_hi)
+        for k, op in enumerate(query.layer_openings):
+            leaf = struct.pack("<QQ", op.v_lo, op.v_hi)
+            if not verify_path(
+                proof.layer_roots[k], int(pos[qi, k + 1]), leaf, op.path
+            ):
+                return False
+        lo_vals = [op.v_lo for op in query.input_openings]
+        hi_vals = [op.v_hi for op in query.input_openings]
         try:
             g_lo, g_hi = g_eval(i0, half0, lo_vals, hi_vals)
         except DomainError:
             return False
 
         # walk the fold layers; x_inv squares per layer (see _fold_pair_xinv)
-        pos = i0
         size = n0
         off, om = offset, omega
         v_lo, v_hi = g_lo, g_hi
-        x_inv = inv_offset * pow(inv_omega, pos, q) % q
+        x_inv = inv_offset * pow(inv_omega, i0, q) % q
         for k, c in enumerate(fold_challenges):
             folded = _fold_pair_xinv(v_lo, v_hi, x_inv, c, q, inv2)
             x_inv = x_inv * x_inv % q
             size //= 2
             off = off * off % q
             om = om * om % q
-            if k < len(proof.layer_roots):
+            if k < n_layers:
                 half = size // 2
-                p = pos % half
-                if pos >= half:
+                if pos[qi, k] >= half:
                     # x_{k+1} = -x_k^2 there: om_k^(size_k/2) = -1, and the
                     # position folds down by size_k/4
                     x_inv = (q - x_inv) % q
                 op = query.layer_openings[k]
-                leaf = struct.pack("<QQ", op.v_lo, op.v_hi)
-                if not verify_path(proof.layer_roots[k], p, leaf, op.path):
-                    return False
-                expect = op.v_lo if pos < half else op.v_hi
+                expect = op.v_lo if pos[qi, k] < half else op.v_hi
                 if folded != expect:
                     return False
                 v_lo, v_hi = op.v_lo, op.v_hi
-                pos = p
             else:
                 # final layer: compare against the sent polynomial
-                x_fin = off * pow(om, pos, q) % q
+                x_fin = off * pow(om, int(pos[qi, k]), q) % q
                 fin = 0
                 for cf in reversed(proof.final_coeffs):
                     fin = (fin * x_fin + cf) % q

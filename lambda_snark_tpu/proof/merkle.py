@@ -126,9 +126,19 @@ def build_forest_u64_pairs(v_lo: np.ndarray, v_hi: np.ndarray) -> List[MerkleTre
 
 
 def verify_path(
-    root: bytes, index: int, leaf_data: bytes, path: Sequence[bytes]
+    root: bytes, index: int, leaf_data: bytes, path
 ) -> bool:
-    """Check that ``leaf_data`` sits at ``index`` under ``root``."""
+    """Check that ``leaf_data`` sits at ``index`` under ``root``.
+
+    ``path`` is either a sequence of 32-byte sibling digests or one
+    contiguous bytes blob of them (``LayerOpening.path``), bottom-up.
+    """
+    if isinstance(path, (bytes, bytearray)):
+        if len(path) % HASH_BYTES:
+            return False
+        path = [
+            path[i : i + HASH_BYTES] for i in range(0, len(path), HASH_BYTES)
+        ]
     node = _hash_leaf(leaf_data)
     for sibling in path:
         if len(sibling) != HASH_BYTES:

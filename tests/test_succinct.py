@@ -235,7 +235,7 @@ def test_tampered_path_rejected(proof45):
     q0 = proof.fri.queries[0]
     op0 = q0.input_openings[0]
     bad_op = dataclasses.replace(
-        op0, path=(bytes(32),) + op0.path[1:]
+        op0, path=bytes(32) + op0.path[32:]
     )
     bad_q0 = dataclasses.replace(
         q0, input_openings=(bad_op,) + q0.input_openings[1:]
