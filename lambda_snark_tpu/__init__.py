@@ -59,6 +59,11 @@ from .proof.aggregate import (
     prove_r1cs_succinct_aggregate,
     verify_r1cs_succinct_aggregate,
 )
+from .proof.succinct_witness import (
+    WitnessProofR1CS,
+    prove_r1cs_witness,
+    verify_r1cs_witness,
+)
 from .proof.types import EvalOpening, Proof, ProofR1CS, ProofR1csZk, deserialize_any
 from .prover import (
     prove_r1cs,
@@ -130,6 +135,9 @@ __all__ = [
     "AggregatedProofR1CS",
     "prove_r1cs_succinct_aggregate",
     "verify_r1cs_succinct_aggregate",
+    "WitnessProofR1CS",
+    "prove_r1cs_witness",
+    "verify_r1cs_witness",
     "prove_r1cs_zk",
     "prove_simple",
     "prove_zk",

@@ -337,7 +337,14 @@ def cmd_prove(args) -> int:
     witness = _load_witness(args.witness)
     ctx = _ctx_from_descriptor(args.context, r1cs.modulus, args.ring_degree)
     t0 = time.time()
-    if getattr(args, "succinct", False):
+    if getattr(args, "witness_bind", False):
+        from .proof.succinct_witness import prove_r1cs_witness
+
+        proof = prove_r1cs_witness(
+            r1cs, witness, ctx, seed=args.seed, zk=args.zk,
+            blinding_seed=args.blinding_seed,
+        )
+    elif getattr(args, "succinct", False):
         from .proof.succinct import prove_r1cs_succinct
 
         proof = prove_r1cs_succinct(
@@ -442,8 +449,11 @@ def cmd_verify(args) -> int:
     from .proof.compact import CompactProofR1CS, verify_r1cs_compact
 
     from .proof.succinct import SuccinctProofR1CS, verify_r1cs_succinct
+    from .proof.succinct_witness import WitnessProofR1CS, verify_r1cs_witness
 
-    if isinstance(proof, SuccinctProofR1CS):
+    if isinstance(proof, WitnessProofR1CS):
+        ok = verify_r1cs_witness(proof, public, r1cs)
+    elif isinstance(proof, SuccinctProofR1CS):
         ok = verify_r1cs_succinct(proof, public, r1cs)
     elif isinstance(proof, CompactProofR1CS):
         ok = verify_r1cs_compact(proof, public, r1cs)
@@ -567,6 +577,10 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--bind-circuit", action="store_true",
                     help="v3 transcript: hash the circuit digest into the "
                          "challenges (closes v1 cross-circuit malleability)")
+    pv.add_argument("--witness-bind", action="store_true",
+                    help="kind-9 committed-witness succinct proof: "
+                         "lincheck/mulcheck bound to a hidden z (add --zk "
+                         "for vanishing-mask hiding)")
     pv.add_argument("--phase2", action="store_true",
                     help="attach the committed-witness lincheck/mulcheck "
                          "binding (non-ZK; writes <out>.witness-binding)")

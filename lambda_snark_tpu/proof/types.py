@@ -295,4 +295,8 @@ def deserialize_any(data: bytes):
         from .aggregate import AggregatedProofR1CS
 
         return AggregatedProofR1CS.from_bytes(data)
+    if kind == 9:  # committed-witness succinct proofs (proof.succinct_witness)
+        from .succinct_witness import WitnessProofR1CS
+
+        return WitnessProofR1CS.from_bytes(data)
     raise SerializationError(f"unknown proof kind {kind}")

@@ -117,6 +117,10 @@ class ProofStore:
         """
         from ..proof.compact import CompactProofR1CS, verify_r1cs_compact
         from ..proof.succinct import SuccinctProofR1CS, verify_r1cs_succinct
+        from ..proof.succinct_witness import (
+            WitnessProofR1CS,
+            verify_r1cs_witness,
+        )
         from ..verifier import verify_r1cs, verify_r1cs_zk
 
         cdig = circuit_digest(r1cs)
@@ -132,6 +136,10 @@ class ProofStore:
                 results[key] = verify_r1cs(proof, public, r1cs)
             elif isinstance(proof, SuccinctProofR1CS):
                 results[key] = verify_r1cs_succinct(
+                    proof, public, r1cs, min_params=proof.fri_params
+                )
+            elif isinstance(proof, WitnessProofR1CS):
+                results[key] = verify_r1cs_witness(
                     proof, public, r1cs, min_params=proof.fri_params
                 )
             elif isinstance(proof, CompactProofR1CS):

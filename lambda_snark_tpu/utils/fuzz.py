@@ -150,6 +150,13 @@ def _proof_corpus(ctx=None):
         fri_params=FriParams(num_queries=4), device_lde=False,
     )
     corpus.append(aggregate.to_bytes())
+    # committed-witness (kind 9) on the same Goldilocks circuit
+    from ..proof.succinct_witness import prove_r1cs_witness
+
+    witness_bound = prove_r1cs_witness(
+        rgl, wgl, ctx_gl, seed=10, fri_params=FriParams(num_queries=4)
+    )
+    corpus.append(witness_bound.to_bytes())
     return r1cs, ctx, corpus, binding.to_bytes(), r45, rgl
 
 

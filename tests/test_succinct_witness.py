@@ -1,0 +1,342 @@
+"""Committed-witness succinct binding (wire kind 9; proof/succinct_witness.py).
+
+The reference's Phase-2 lincheck/mulcheck are empty placeholders
+(``cpp-core/src/lincheck.cpp``, ``mulcheck.cpp``); the revealing variant
+lives in proof/checks.py. These tests pin the non-revealing upgrade:
+completeness (both field paths, zk and plain), wire round-trip,
+determinism, and — the point of the construction — rejection of witness
+substitution and public-input forgery with z never disclosed.
+"""
+
+import dataclasses
+import random
+
+import numpy as np
+import pytest
+
+from lambda_snark_tpu import Params, Profile, SecurityLevel, setup
+from lambda_snark_tpu.core.errors import DomainError, SerializationError
+from lambda_snark_tpu.core.params import NTT_FRIENDLY_MODULUS, NTT_MODULUS
+from lambda_snark_tpu.proof.fri import FriParams
+from lambda_snark_tpu.proof.succinct_witness import (
+    WitnessProofR1CS,
+    _prove_from_parts,
+    _witness_geometry,
+    prove_r1cs_witness,
+    verify_r1cs_witness,
+)
+from lambda_snark_tpu.proof.types import deserialize_any
+from lambda_snark_tpu.r1cs.circuit import CircuitBuilder
+from lambda_snark_tpu.r1cs.domain import Domain
+from lambda_snark_tpu.r1cs.r1cs import R1CS
+from lambda_snark_tpu.r1cs.sparse import SparseMatrix
+
+Q45 = NTT_FRIENDLY_MODULUS
+GL = NTT_MODULUS
+
+FAST = FriParams(log_blowup=3, num_queries=8)
+
+
+def mult_circuit(m, modulus):
+    builder = CircuitBuilder(modulus)
+    builder.alloc_var()
+    a = builder.alloc_vars(m)
+    b = builder.alloc_vars(m)
+    c = builder.alloc_vars(m)
+    builder.set_public_inputs(1)
+    for i in range(m):
+        builder.mul_gate(a[i], b[i], c[i])
+    return builder.build()
+
+
+def mult_witness(m, modulus, seed=0):
+    rng = random.Random(seed)
+    a = [rng.randrange(1, modulus) for _ in range(m)]
+    b = [rng.randrange(1, modulus) for _ in range(m)]
+    c = [(x * y) % modulus for x, y in zip(a, b)]
+    return [1] + a + b + c
+
+
+def narrow_circuit(m, modulus):
+    """m constraints over only 3 variables (x*x = y repeated): exercises the
+    M == m (stride 1) sumcheck-domain case."""
+    builder = CircuitBuilder(modulus)
+    builder.alloc_var()
+    x = builder.alloc_var()
+    y = builder.alloc_var()
+    builder.set_public_inputs(1)
+    for _ in range(m):
+        builder.mul_gate(x, x, y)
+    return builder.build()
+
+
+@pytest.fixture(scope="module")
+def ctx45():
+    return setup(Params(SecurityLevel.BITS128, Profile.ring_b(64, 1, Q45, 3.19)))
+
+
+@pytest.fixture(scope="module")
+def ctx_gl():
+    return setup(Params(SecurityLevel.BITS128, Profile.ring_b(64, 1, GL, 3.19)))
+
+
+@pytest.fixture(scope="module")
+def proof_gl(ctx_gl):
+    r1cs = mult_circuit(16, GL)
+    w = mult_witness(16, GL)
+    proof = prove_r1cs_witness(r1cs, w, ctx_gl, seed=42, fri_params=FAST)
+    return r1cs, w, proof
+
+
+# --- completeness -------------------------------------------------------------
+
+
+def test_roundtrip_q45_generic_path(ctx45):
+    r1cs = mult_circuit(8, Q45)
+    w = mult_witness(8, Q45)
+    proof = prove_r1cs_witness(r1cs, w, ctx45, seed=7, fri_params=FAST)
+    assert verify_r1cs_witness(proof, [1], r1cs, min_params=FAST)
+
+
+def test_roundtrip_goldilocks(proof_gl):
+    r1cs, w, proof = proof_gl
+    assert verify_r1cs_witness(proof, [1], r1cs, min_params=FAST)
+
+
+def test_roundtrip_goldilocks_zk(ctx_gl):
+    r1cs = mult_circuit(16, GL)
+    w = mult_witness(16, GL)
+    proof = prove_r1cs_witness(
+        r1cs, w, ctx_gl, seed=3, zk=True, fri_params=FAST, blinding_seed=99
+    )
+    assert proof.mask_len == 2 * FAST.num_queries + 8
+    assert len(proof.input_roots) == 6  # includes the mu oracle
+    assert verify_r1cs_witness(proof, [1], r1cs, min_params=FAST)
+
+
+def test_roundtrip_stride_one_domain(ctx_gl):
+    # n <= m: sumcheck domain equals the constraint domain
+    r1cs = narrow_circuit(16, GL)
+    w = [1, 5, 25]
+    big_m, _, _, _, _ = _witness_geometry(r1cs, FAST, 0)
+    assert big_m == 16
+    proof = prove_r1cs_witness(r1cs, w, ctx_gl, seed=11, fri_params=FAST)
+    assert verify_r1cs_witness(proof, [1], r1cs, min_params=FAST)
+
+
+def test_zk_hides_witness_bytes(ctx_gl):
+    """The zk proof bytes must not contain the witness values in clear."""
+    r1cs = mult_circuit(8, GL)
+    w = mult_witness(8, GL, seed=5)
+    proof = prove_r1cs_witness(
+        r1cs, w, ctx_gl, seed=1, zk=True, fri_params=FAST, blinding_seed=2
+    )
+    blob = proof.to_bytes()
+    for v in w[1:9]:
+        assert v.to_bytes(8, "little") not in blob
+
+
+def test_deterministic_bytes(ctx_gl):
+    r1cs = mult_circuit(8, GL)
+    w = mult_witness(8, GL)
+    p1 = prove_r1cs_witness(
+        r1cs, w, ctx_gl, seed=5, zk=True, fri_params=FAST, blinding_seed=13
+    )
+    p2 = prove_r1cs_witness(
+        r1cs, w, ctx_gl, seed=5, zk=True, fri_params=FAST, blinding_seed=13
+    )
+    assert p1.to_bytes() == p2.to_bytes()
+
+
+def test_wire_roundtrip_and_dispatch(proof_gl):
+    r1cs, w, proof = proof_gl
+    blob = proof.to_bytes()
+    back = WitnessProofR1CS.from_bytes(blob)
+    assert back == proof
+    assert back.to_bytes() == blob
+    via_any = deserialize_any(blob)
+    assert isinstance(via_any, WitnessProofR1CS)
+    assert verify_r1cs_witness(back, [1], r1cs, min_params=FAST)
+
+
+# --- soundness: witness binding ----------------------------------------------
+
+
+def test_rejects_witness_substitution(ctx_gl):
+    """A prover that commits z but builds A~/B~/C~/Q~ from a DIFFERENT
+    satisfying witness must be rejected: this is exactly the attack the
+    revealing phase-2 closed and kinds 6/7 could not (their evaluations are
+    bound only through the quotient identity)."""
+    from lambda_snark_tpu.ops import goldilocks_np as glnp
+    from lambda_snark_tpu.proof.succinct_witness import (
+        _witness_geometry,
+    )
+    from lambda_snark_tpu.proof.succinct import (
+        _gl_quotient_and_interpolations,
+    )
+
+    r1cs = mult_circuit(16, GL)
+    w_committed = mult_witness(16, GL, seed=0)  # the witness in z^
+    w_forged = mult_witness(16, GL, seed=1)  # generates the quotient side
+    assert w_committed != w_forged
+    params = FAST
+    big_m, omega_s, d_bound, n0, omega_n = _witness_geometry(r1cs, params, 0)
+    q_coeffs, a_p, b_p, c_p = _gl_quotient_and_interpolations(r1cs, w_forged)
+    z = [int(v) % GL for v in w_committed]
+    z_pad = np.zeros(big_m, dtype=np.uint64)
+    z_pad[: len(z)] = np.array(z, dtype=np.uint64)
+    z_poly = glnp.goldilocks_ntt(big_m).inverse(z_pad)
+    proof = _prove_from_parts(
+        r1cs, z, a_p, b_p, c_p, q_coeffs, z_poly, None, q_coeffs, ctx_gl,
+        seed=42, params=params, mask_len=0, big_m=big_m, omega_s=omega_s,
+        d_bound=d_bound, n0=n0, omega_n=omega_n, gl_fast=True,
+        _allow_bad_sum=True,
+    )
+    assert not verify_r1cs_witness(proof, [1], r1cs, min_params=FAST)
+
+
+def test_public_forgery_breaks_low_degreeness(ctx_gl):
+    """Claiming publics that differ from the committed z^'s prefix makes the
+    public-point DEEP quotient a non-polynomial: even the honest FRI
+    machinery cannot complete the proof (the final-layer degree check
+    trips), and any adversarial completion is a random FRI word that the
+    verifier rejects with the proximity-test error bound."""
+    from lambda_snark_tpu.ops import goldilocks_np as glnp
+    from lambda_snark_tpu.proof.succinct import (
+        _gl_quotient_and_interpolations,
+    )
+
+    r1cs = mult_circuit(16, GL)
+    w = mult_witness(16, GL)
+    params = FAST
+    big_m, omega_s, d_bound, n0, omega_n = _witness_geometry(r1cs, params, 0)
+    q_coeffs, a_p, b_p, c_p = _gl_quotient_and_interpolations(r1cs, w)
+    z = [int(v) % GL for v in w]
+    z_pad = np.zeros(big_m, dtype=np.uint64)
+    z_pad[: len(z)] = np.array(z, dtype=np.uint64)
+    z_poly = glnp.goldilocks_ntt(big_m).inverse(z_pad)
+    with pytest.raises(DomainError):
+        _prove_from_parts(
+            r1cs, z, a_p, b_p, c_p, q_coeffs, z_poly, None, q_coeffs, ctx_gl,
+            seed=42, params=params, mask_len=0, big_m=big_m, omega_s=omega_s,
+            d_bound=d_bound, n0=n0, omega_n=omega_n, gl_fast=True,
+            public_override=[2],  # committed z starts with 1
+        )
+
+
+def test_rejects_consistent_public_forgery(ctx_gl):
+    """An adversary who makes the claimed publics CONSISTENT with a doctored
+    z^ (z'[0] = 2) while the quotient side still uses the real witness gets
+    through the FRI but is caught by the lincheck sumcheck."""
+    from lambda_snark_tpu.ops import goldilocks_np as glnp
+    from lambda_snark_tpu.proof.succinct import (
+        _gl_quotient_and_interpolations,
+    )
+
+    # the public wire must actually be CONSTRAINED for the forgery to be a
+    # false statement: z0 * x = y repeated (mult_circuit never references
+    # the constant wire, so a doctored z0 there satisfies the circuit)
+    builder = CircuitBuilder(GL)
+    builder.alloc_var()
+    x = builder.alloc_var()
+    y = builder.alloc_var()
+    builder.set_public_inputs(1)
+    for _ in range(16):
+        builder.mul_gate(0, x, y)
+    r1cs = builder.build()
+    w = [1, 5, 5]
+    params = FAST
+    big_m, omega_s, d_bound, n0, omega_n = _witness_geometry(r1cs, params, 0)
+    q_coeffs, a_p, b_p, c_p = _gl_quotient_and_interpolations(r1cs, w)
+    z_doctored = [2] + [int(v) % GL for v in w[1:]]
+    z_pad = np.zeros(big_m, dtype=np.uint64)
+    z_pad[: len(z_doctored)] = np.array(z_doctored, dtype=np.uint64)
+    z_poly = glnp.goldilocks_ntt(big_m).inverse(z_pad)
+    proof = _prove_from_parts(
+        r1cs, z_doctored, a_p, b_p, c_p, q_coeffs, z_poly, None, q_coeffs,
+        ctx_gl, seed=42, params=params, mask_len=0, big_m=big_m,
+        omega_s=omega_s, d_bound=d_bound, n0=n0, omega_n=omega_n,
+        gl_fast=True, public_override=[2], _allow_bad_sum=True,
+    )
+    assert not verify_r1cs_witness(proof, [2], r1cs, min_params=FAST)
+
+
+def test_rejects_wrong_publics(proof_gl):
+    r1cs, w, proof = proof_gl
+    assert not verify_r1cs_witness(proof, [2], r1cs, min_params=FAST)
+
+
+def test_rejects_tampered_fields(proof_gl):
+    r1cs, w, proof = proof_gl
+    # each gamma evaluation is FRI-bound
+    for i in range(len(proof.evals_gamma)):
+        evals = list(proof.evals_gamma)
+        evals[i] = (evals[i] + 1) % GL
+        bad = dataclasses.replace(proof, evals_gamma=tuple(evals))
+        assert not verify_r1cs_witness(bad, [1], r1cs, min_params=FAST)
+    # each alpha/beta evaluation
+    for i in range(8):
+        evals = list(proof.evals_ab)
+        evals[i] = (evals[i] + 1) % GL
+        bad = dataclasses.replace(proof, evals_ab=tuple(evals))
+        assert not verify_r1cs_witness(bad, [1], r1cs, min_params=FAST)
+    # swapped sumcheck roots
+    bad = dataclasses.replace(
+        proof, sum_roots=(proof.sum_roots[1], proof.sum_roots[0])
+    )
+    assert not verify_r1cs_witness(bad, [1], r1cs, min_params=FAST)
+    # any input root
+    roots = list(proof.input_roots)
+    roots[4] = bytes(32)
+    bad = dataclasses.replace(proof, input_roots=tuple(roots))
+    assert not verify_r1cs_witness(bad, [1], r1cs, min_params=FAST)
+
+
+def test_rejects_byte_corruption(proof_gl):
+    r1cs, w, proof = proof_gl
+    blob = bytearray(proof.to_bytes())
+    rng = random.Random(0)
+    for _ in range(24):
+        i = rng.randrange(9, len(blob))
+        mutated = bytearray(blob)
+        mutated[i] ^= 0xFF
+        try:
+            bad = WitnessProofR1CS.from_bytes(bytes(mutated))
+        except SerializationError:
+            continue
+        assert not verify_r1cs_witness(bad, [1], r1cs, min_params=FAST)
+
+
+def test_rejects_truncation(proof_gl):
+    _, _, proof = proof_gl
+    blob = proof.to_bytes()
+    for cut in (10, 40, 100, len(blob) // 2, len(blob) - 1):
+        with pytest.raises(SerializationError):
+            WitnessProofR1CS.from_bytes(blob[:cut])
+
+
+def test_rejects_weak_params(ctx_gl, proof_gl):
+    r1cs, w, proof = proof_gl
+    weak = FriParams(log_blowup=1, num_queries=2)
+    p = prove_r1cs_witness(r1cs, w, ctx_gl, seed=9, fri_params=weak)
+    assert not verify_r1cs_witness(p, [1], r1cs, min_params=FAST)
+    assert verify_r1cs_witness(
+        p, [1], r1cs, min_params=FriParams(log_blowup=1, num_queries=2)
+    )
+
+
+def test_requires_roots_domain(ctx45):
+    m, n = 4, 13
+    r1cs_seq = mult_circuit(4, Q45)
+    seq = R1CS(
+        m=r1cs_seq.m,
+        n=r1cs_seq.n,
+        l=r1cs_seq.l,
+        a=r1cs_seq.a,
+        b=r1cs_seq.b,
+        c=r1cs_seq.c,
+        modulus=Q45,
+        domain=Domain.sequential(r1cs_seq.m, Q45),
+    )
+    with pytest.raises(DomainError):
+        prove_r1cs_witness(seq, mult_witness(4, Q45), ctx45, seed=1)
