@@ -552,9 +552,19 @@ def bench_succinct(out=None):
             r1cs, witnesses[0], ctx, seed=7, device_lde=True
         )
         out[f"succinct_prove_m2pow13_{tag}_s"] = time.time() - t0
+    # verify: one cold call (includes lazy imports / native-lib load), then
+    # steady-state = min of 5 (the spec's per-proof figure; the cold cost is
+    # amortized over any real verification stream)
     t0 = time.time()
     out["succinct_verify_ok"] = bool(verify_r1cs_succinct(proof, [1], r1cs))
-    out["succinct_verify_m2pow13_s"] = time.time() - t0
+    out["succinct_verify_m2pow13_cold_s"] = time.time() - t0
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        ok = verify_r1cs_succinct(proof, [1], r1cs)
+        times.append(time.time() - t0)
+        out["succinct_verify_ok"] = out["succinct_verify_ok"] and bool(ok)
+    out["succinct_verify_m2pow13_s"] = min(times)
     out["succinct_proof_bytes_m2pow13"] = len(proof.to_bytes())
 
     _checkpoint(120)
@@ -607,6 +617,39 @@ def bench_succinct_scale(out=None):
             out[f"succinct_batch{s_batch}_prove_m2pow13_warm2_s"],
         )
         out[f"succinct_proofs_per_s_batch{s_batch}"] = s_batch / warm
+    return out
+
+
+def bench_witness(out=None):
+    """Committed-witness succinct proving (kind 9: the full SNARK statement
+    — lincheck/mulcheck against a hidden z, docs/protocol.md §8)."""
+    from lambda_snark_tpu.proof.succinct_witness import (
+        prove_r1cs_witness,
+        verify_r1cs_witness,
+    )
+
+    if out is None:
+        out = {}
+    _checkpoint(180)
+    m = 1 << 12
+    r1cs, witnesses, seeds, ctx = _succinct_instance(m, 1)
+    for tag in ("cold", "warm"):
+        t0 = time.time()
+        proof = prove_r1cs_witness(
+            r1cs, witnesses[0], ctx, seed=seeds[0], device_lde=True
+        )
+        out[f"witness_prove_m2pow12_{tag}_s"] = time.time() - t0
+    out["witness_proofs_per_s"] = 1.0 / out["witness_prove_m2pow12_warm_s"]
+    out["witness_proof_bytes_m2pow12"] = len(proof.to_bytes())
+    t0 = time.time()
+    out["witness_verify_ok"] = bool(verify_r1cs_witness(proof, [1], r1cs))
+    out["witness_verify_m2pow12_cold_s"] = time.time() - t0
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        verify_r1cs_witness(proof, [1], r1cs)
+        times.append(time.time() - t0)
+    out["witness_verify_m2pow12_s"] = min(times)
     return out
 
 
@@ -680,6 +723,12 @@ def bench_aggregate(out=None):
         verify_r1cs_succinct_aggregate(agg, [[1]] * s_batch, r1cs)
     )
     out["aggregate_verify_s"] = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        verify_r1cs_succinct_aggregate(agg, [[1]] * s_batch, r1cs)
+        times.append(time.time() - t0)
+    out["aggregate_verify_stmts_per_s"] = s_batch / min(times)
     _checkpoint(60)
     batch = prove_r1cs_succinct_batch(
         r1cs, witnesses, ctx, seeds, device_lde=True
@@ -870,6 +919,7 @@ def main():
             bench_succinct_scale,
             bench_secondary,
             bench_aggregate,
+            bench_witness,
         ):
             section: dict = {}
             stop = False

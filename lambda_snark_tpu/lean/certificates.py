@@ -397,3 +397,70 @@ def parse_forking_equations(source: str) -> Dict:
         "sis_beta": int(sis.group(4)),
         "asserts_square_domain": square is not None,
     }
+
+
+# --- SecurityParamsData.lean -----------------------------------------------------
+
+
+def security_params_lean() -> str:
+    """Emit the security-parameter data certificate (docs/security_analysis.md
+    §5): the shipped FRI defaults, mask arithmetic, the kind-8 batching
+    envelope and the 2-adicity facts, as Lean ``example : _ := by decide``
+    statements. Regenerated from the LIBRARY constants so the certificate
+    cannot drift from the code; type-checked by ``scripts/lean_check.py``.
+    """
+    from ..core.params import (
+        HEALTHCARE_DUMP_MODULUS,
+        NTT_FRIENDLY_MODULUS,
+        NTT_MODULUS,
+    )
+    from ..proof.fri import MAX_AGGREGATE_STATEMENTS, FriParams
+    from ..proof.succinct import _MASK_LEN_CAP, _degree_bound
+
+    p = FriParams()
+    mask_len = 2 * p.num_queries + 8
+    # the documented kind-8 operating envelope: m <= 2^13, ZK masks on
+    d_max = _degree_bound(1 << 13, mask_len)
+    target_bits = 80
+    batch_slack_bits = 30
+    lines = [
+        "/- Regenerated security-parameter certificate (lambda-snark-tpu;",
+        "   analysis: docs/security_analysis.md §5). Every `example` is a",
+        "   kernel-checked arithmetic fact about the SHIPPED defaults. -/",
+        "",
+        f"private def friLogBlowup : ℕ := {p.log_blowup}",
+        f"private def friNumQueries : ℕ := {p.num_queries}",
+        f"private def friFinalLen : ℕ := {p.final_len}",
+        "private def conjecturedProximityBits : ℕ := "
+        "friLogBlowup * friNumQueries",
+        f"private def targetProximityBits : ℕ := {target_bits}",
+        "",
+        "/-- Default profile meets the conjectured-regime proximity target. -/",
+        "example : targetProximityBits ≤ conjecturedProximityBits := by decide",
+        "",
+        f"private def zkMaskLen : ℕ := {mask_len}",
+        f"private def maskLenCap : ℕ := {_MASK_LEN_CAP}",
+        "",
+        "/-- The ZK mask covers every revealed position: 2 per query (paired",
+        "    leaves) plus the out-of-domain evaluation slots. -/",
+        "example : 2 * friNumQueries + 8 ≤ zkMaskLen := by decide",
+        "example : zkMaskLen ≤ maskLenCap := by decide",
+        "",
+        f"private def goldilocksQ : ℕ := {NTT_MODULUS}",
+        f"private def q45 : ℕ := {NTT_FRIENDLY_MODULUS}",
+        f"private def healthcareQ : ℕ := {HEALTHCARE_DUMP_MODULUS}",
+        f"private def maxAggregateStatements : ℕ := {MAX_AGGREGATE_STATEMENTS}",
+        f"private def dMaxEnvelope : ℕ := {d_max}",
+        "",
+        "/-- Kind-8 λ-batching loss ≤ 2⁻³⁰ over the full wire envelope:",
+        "    (8·S_max)·d_max / q ≤ 2⁻³⁰ (docs/security_analysis.md §3). -/",
+        "example : 8 * maxAggregateStatements * dMaxEnvelope * "
+        f"2 ^ {batch_slack_bits} ≤ goldilocksQ := by decide",
+        "",
+        "/-- Registered 2-adic subgroup orders divide q − 1 (the root-ladder",
+        "    facts every coset argument relies on; proof/fri.py registry). -/",
+        "example : 2 ^ 32 ∣ (goldilocksQ - 1) := by decide",
+        "example : 2 ^ 13 ∣ (q45 - 1) := by decide",
+        "example : 2 ^ 27 ∣ (healthcareQ - 1) := by decide",
+    ]
+    return "\n".join(lines) + "\n"

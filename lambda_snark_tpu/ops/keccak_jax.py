@@ -216,6 +216,36 @@ def leaf_block_words(a0, a1, b0, b1):
     return jnp.stack(w, axis=0)
 
 
+def leaf_block_words_flex(words):
+    """Padded block for a Merkle leaf ``0x00 || payload`` where the payload
+    is the uint32 LE words in ``words`` (list of [...batch] arrays, one per
+    4 payload bytes, byte order = word order). Payload must fit a single
+    rate block: len(words) <= 32 (128 bytes + prefix + padding <= 136).
+
+    Generalizes :func:`leaf_block_words` to G-oracle interleaved leaves
+    (``pack("<QQ", lo_g, hi_g)`` per oracle -> 4 words per oracle).
+    """
+    import jax.numpy as jnp
+
+    p = len(words)
+    if p > 32:
+        raise ValueError(f"leaf payload {4 * p} bytes exceeds one rate block")
+    m24 = jnp.uint32(0x00FFFFFF)
+    z = jnp.zeros_like(words[0])
+    w = [z] * _RATE_WORDS
+    w[0] = (words[0] & m24) << jnp.uint32(8)
+    for k in range(1, p):
+        w[k] = (words[k - 1] >> jnp.uint32(24)) | (words[k] << jnp.uint32(8))
+    w[p] = (words[p - 1] >> jnp.uint32(24)) | jnp.uint32(0x06 << 8)
+    w[33] = jnp.full_like(z, jnp.uint32(0x80000000))
+    return jnp.stack(w, axis=0)
+
+
+def hash_leaves_flex(words, looped: bool = False):
+    """Digest words [8, ...batch] for flexible-payload Merkle leaves."""
+    return sha3_256_single_block(leaf_block_words_flex(words), looped)
+
+
 def node_block_words(left, right):
     """Padded block for an interior node ``0x01 || left || right``.
 
@@ -285,6 +315,77 @@ def _tree_fn(half: int, min_rows: int):
     fn = jax.jit(build)
     _tree_cache[key] = fn
     return fn
+
+
+_tree_flex_cache = {}
+
+
+def _tree_fn_flex(p: int, half: int, min_rows: int):
+    """Jitted builder for flexible leaves: stacked payload words [P, T, half]
+    -> tuple of digest levels [T, k, 8] (stops at <= min_rows rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (p, half, min_rows)
+    if key in _tree_flex_cache:
+        return _tree_flex_cache[key]
+
+    def build(words):
+        from . import keccak_pallas as kp
+
+        levels = [kp.hash_leaves_flex(words, looped=True)]
+        cur = levels[0]
+        size = half
+        while size > min_rows and size > 1:
+            cur = kp.hash_nodes(cur[..., 0::2], cur[..., 1::2], looped=True)
+            levels.append(cur)
+            size //= 2
+        return tuple(jnp.moveaxis(level, 0, -1) for level in levels)
+
+    fn = jax.jit(build)
+    _tree_flex_cache[key] = fn
+    return fn
+
+
+def group_leaf_words(vals: np.ndarray):
+    """uint64 [..., G, n] codeword group -> the 4G uint32 leaf payload word
+    planes [...shape..., half] for interleaved leaves
+    ``concat_g pack("<QQ", v_g[i], v_g[i+half])``."""
+    half = vals.shape[-1] // 2
+    lo = vals[..., :half]
+    hi = vals[..., half:]
+    words = []
+    g_axis = vals.ndim - 2
+    for g in range(vals.shape[g_axis]):
+        lo_g = np.take(lo, g, axis=g_axis)
+        hi_g = np.take(hi, g, axis=g_axis)
+        words.append((lo_g & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        words.append((lo_g >> np.uint64(32)).astype(np.uint32))
+        words.append((hi_g & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        words.append((hi_g >> np.uint64(32)).astype(np.uint32))
+    return words
+
+
+def merkle_levels_u64_groups(vals: np.ndarray, min_rows: int = 1):
+    """Build Merkle digest levels for interleaved group leaves on the
+    accelerator.
+
+    vals: uint64 [T, G, n] (T trees over G equal-size codewords each).
+    Leaf i of tree t is ``concat_g pack("<QQ", vals[t,g,i], vals[t,g,i+half])``
+    with the 0x00 prefix — the layout of ``proof.fri.commit_codeword_group``.
+    Returns uint32 levels [T, k, 8] down to <= min_rows rows, bit-identical
+    to the hashlib path.
+    """
+    t, g, n = vals.shape
+    half = n // 2
+    if half == 0 or half & (half - 1):
+        raise ValueError(f"leaf count must be a power of two, got {half}")
+    import jax.numpy as jnp
+
+    words = [jnp.asarray(w) for w in group_leaf_words(vals)]
+    fn = _tree_fn_flex(4 * g, half, min_rows)
+    levels = fn(words)
+    return [np.asarray(level) for level in levels]
 
 
 def merkle_levels_u64_pairs(

@@ -150,6 +150,30 @@ def _leaf_kernel(a0_ref, a1_ref, b0_ref, b1_ref, out_ref):
     _digest_out(out_ref, _keccak_f_named(lanes))
 
 
+def _flex_leaf_kernel(p: int):
+    """Kernel factory: leaf ``0x00 || payload`` with p uint32 payload words
+    arriving stacked word-leading ([p, rows, 128]). Byte layout identical to
+    ``keccak_jax.leaf_block_words_flex``."""
+    import jax.numpy as jnp
+
+    def kernel(words_ref, out_ref):
+        win = [words_ref[k] for k in range(p)]
+        m24 = jnp.uint32(0x00FFFFFF)
+        s8 = jnp.uint32(8)
+        s24 = jnp.uint32(24)
+        z = jnp.zeros_like(win[0])
+        w = [z] * 34
+        w[0] = (win[0] & m24) << s8
+        for k in range(1, p):
+            w[k] = (win[k - 1] >> s24) | (win[k] << s8)
+        w[p] = (win[p - 1] >> s24) | jnp.uint32(0x06 << 8)
+        w[33] = jnp.full_like(z, 0x80000000, dtype=jnp.uint32)
+        lanes = [(w[2 * j], w[2 * j + 1]) for j in range(17)] + [(z, z)] * 8
+        _digest_out(out_ref, _keccak_f_named(lanes))
+
+    return kernel
+
+
 def _node_kernel(left_ref, right_ref, out_ref):
     """Node message ``0x01 || left || right`` -> digest words.
 
@@ -190,7 +214,12 @@ def _hash_call(kind: str, n_in: int, rows: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = _leaf_kernel if kind == "leaf" else _node_kernel
+    if kind == "leaf":
+        kernel = _leaf_kernel
+    elif kind == "node":
+        kernel = _node_kernel
+    else:  # flex leaf: kind = "flex<P>"
+        kernel = _flex_leaf_kernel(n_in)
     tr = min(_TILE_ROWS, rows)
     grid = (rows // tr,)
     if kind == "leaf":
@@ -199,11 +228,16 @@ def _hash_call(kind: str, n_in: int, rows: int):
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ]
-    else:
+    elif kind == "node":
         in_specs = [
             pl.BlockSpec((8, tr, _LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(2)
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((n_in, tr, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
         ]
     fn = pl.pallas_call(
         kernel,
@@ -254,6 +288,22 @@ def hash_leaves(a0, a1, b0, b1, looped: bool = False):
         [a0, a1, b0, b1], batch_shape
     )
     digest = _hash_call("leaf", 4, rows)(a0f, a1f, b0f, b1f)
+    return _unflatten(digest, n, batch_shape)
+
+
+def hash_leaves_flex(words, looped: bool = False):
+    """Digest words [8, ...batch] for flexible-payload leaves (list of
+    uint32 payload word arrays) — Pallas on TPU, ``keccak_jax`` elsewhere
+    (bit-identical)."""
+    if not _on_tpu():
+        return kj.hash_leaves_flex(words, looped)
+    import jax.numpy as jnp
+
+    p = len(words)
+    batch_shape = words[0].shape
+    stacked = jnp.stack(words, axis=0)
+    (wf,), n, rows = _flatten_pad([stacked], batch_shape)
+    digest = _hash_call(f"flex{p}", p, rows)(wf)
     return _unflatten(digest, n, batch_shape)
 
 

@@ -6,9 +6,10 @@ bytes: ~num_queries authenticated pairs per layer). This module amortizes
 the *proof* as well: the S statements' 4S DEEP quotients are folded into ONE
 combined low-degree claim under a single Fiat–Shamir challenge, so the fold
 layers, the final polynomial and the query index set are shared across the
-batch (wire kind 8). Per statement only the lattice commitment, the four
-input Merkle roots, the dual challenges and the eight claimed evaluations
-remain — plus four authenticated input openings per shared query.
+batch (wire kind 8). Per statement only the lattice commitment, ONE
+interleaved input Merkle root, the dual challenges and the eight claimed
+evaluations remain — plus one authenticated group opening per shared query
+(the statement's four oracles share a single path, wire v3).
 
 Soundness: per-statement binding is unchanged (each statement's alpha/beta
 derive from its own commitment + roots exactly as in ``proof/succinct.py``);
@@ -82,7 +83,7 @@ class StatementOpening:
     fields of ``SuccinctProofR1CS``)."""
 
     commitment_q: lwe.Commitment
-    input_roots: Tuple[bytes, ...]  # Merkle roots: A~, B~, C~, Q~
+    input_root: bytes  # ONE interleaved Merkle root (A~, B~, C~, Q~)
     challenge_alpha: Challenge
     challenge_beta: Challenge
     evals: Tuple[int, ...]  # (A,B,C,Q at alpha) then (A,B,C,Q at beta)
@@ -91,8 +92,7 @@ class StatementOpening:
         words = self.commitment_q.as_words()
         out = struct.pack("<Q", len(words))
         out += b"".join(struct.pack("<Q", int(w)) for w in words)
-        for root in self.input_roots:
-            out += root
+        out += self.input_root
         out += self.challenge_alpha.to_bytes() + self.challenge_beta.to_bytes()
         out += struct.pack("<8Q", *self.evals)
         return out
@@ -109,12 +109,10 @@ class StatementOpening:
             raise SerializationError("truncated aggregate commitment words")
         words = list(struct.unpack_from(f"<{n_words}Q", data, off)) if n_words else []
         off += 8 * n_words
-        roots = []
-        for _ in range(4):
-            if off + 32 > len(data):
-                raise SerializationError("truncated aggregate input roots")
-            roots.append(data[off : off + 32])
-            off += 32
+        if off + 32 > len(data):
+            raise SerializationError("truncated aggregate input root")
+        input_root = data[off : off + 32]
+        off += 32
         if off + 80 > len(data):
             raise SerializationError("truncated aggregate challenges")
         ch_a = Challenge.from_bytes(data[off : off + 40])
@@ -127,7 +125,7 @@ class StatementOpening:
         return (
             StatementOpening(
                 commitment_q=lwe.Commitment(np.array(words, dtype=np.uint64)),
-                input_roots=tuple(roots),
+                input_root=input_root,
                 challenge_alpha=ch_a,
                 challenge_beta=ch_b,
                 evals=tuple(evals),
@@ -313,15 +311,18 @@ def prove_r1cs_succinct_aggregate(
             fe.evals, offset, omega_n, lam_tables=(lam_a, lam_b),
         )
         g_comb = fri_device.sum_statements_device(g_s)  # (4, 1, n0)
+        # ONE FRI statement whose 4S oracles live in S per-statement
+        # interleaved trees (n_groups = S): one path per statement per query
         input_r = fe.planes_dev.reshape(4, 1, 4 * s, n0)
         fri_proof = fri_device.fri_prove_device(
-            g_comb, input_r, fe.forest, offset, omega_n, q, params, [tr]
+            g_comb, input_r, fe.forest, offset, omega_n, q, params, [tr],
+            n_groups=s,
         )[0]
         return AggregatedProofR1CS(
             statements=tuple(
                 StatementOpening(
                     commitment_q=fe.commitments[i],
-                    input_roots=tuple(fe.roots[i]),
+                    input_root=fe.roots[i][0],
                     challenge_alpha=fe.chals[i][0],
                     challenge_beta=fe.chals[i][1],
                     evals=tuple(int(v) for v in fe.evals[i]),
@@ -364,7 +365,7 @@ def prove_r1cs_succinct_aggregate(
             lam_pow = lam2 * lam % q
 
     inputs = [
-        (fe.cw[i, k], fe.trees[i][k]) for i in range(s) for k in range(4)
+        ([fe.cw[i, k] for k in range(4)], fe.trees[i]) for i in range(s)
     ]
     fri_proof = fri_prove(g, inputs, offset, omega_n, q, params, tr)
 
@@ -372,7 +373,7 @@ def prove_r1cs_succinct_aggregate(
         statements=tuple(
             StatementOpening(
                 commitment_q=fe.commitments[i],
-                input_roots=tuple(fe.roots[i]),
+                input_root=fe.roots[i][0],
                 challenge_alpha=fe.chals[i][0],
                 challenge_beta=fe.chals[i][1],
                 evals=tuple(int(v) for v in fe.evals[i]),
@@ -424,7 +425,7 @@ def verify_r1cs_succinct_aggregate(
     betas: List[int] = []
     for st, public in zip(proof.statements, public_inputs_list):
         comm_words = list(st.commitment_q.as_words()) + _roots_to_words(
-            st.input_roots
+            [st.input_root]
         )
         ch_alpha = Challenge.derive(public, comm_words, q)
         if st.challenge_alpha.alpha != ch_alpha.alpha:
@@ -455,7 +456,7 @@ def verify_r1cs_succinct_aggregate(
     tr = _seed_aggregate_transcript(
         q, r1cs.m, proof.mask_len, params, d_bound,
         [
-            (st.input_roots, alphas[i], betas[i], list(st.evals))
+            ([st.input_root], alphas[i], betas[i], list(st.evals))
             for i, st in enumerate(proof.statements)
         ],
     )
@@ -485,9 +486,7 @@ def verify_r1cs_succinct_aggregate(
             out.append(acc)
         return out[0], out[1]
 
-    input_roots = [
-        root for st in proof.statements for root in st.input_roots
-    ]
+    input_groups = [(st.input_root, 4) for st in proof.statements]
     return fri_verify(
-        proof.fri, input_roots, g_eval, n0, offset, omega_n, q, params, tr
+        proof.fri, input_groups, g_eval, n0, offset, omega_n, q, params, tr
     )

@@ -310,6 +310,63 @@ def commit_codeword(values: Sequence[int]) -> MerkleTree:
     return MerkleTree(leaves)
 
 
+def commit_codeword_group(codewords: Sequence[Sequence[int]]) -> MerkleTree:
+    """Merkle-commit a GROUP of equal-size codewords in one interleaved tree
+    (leaf i = ``concat_g pack("<QQ", cw_g[i], cw_g[i+half])``).
+
+    This is the wire-v3 input-oracle commitment: a single authentication
+    path opens every oracle of the group at a queried position. Device
+    hashing for large uint64 codewords; bit-identical either way.
+    """
+    from .merkle import build_forest_u64_groups
+
+    n = len(codewords[0])
+    half = n // 2
+    if any(len(cw) != n for cw in codewords):
+        raise DomainError("group codewords must share one size")
+    if (
+        DEVICE_HASH
+        and all(
+            isinstance(cw, np.ndarray) and cw.dtype == np.uint64
+            for cw in codewords
+        )
+        and half >= _DEVICE_HASH_MIN_HALF
+    ):
+        return build_forest_u64_groups(np.stack(codewords)[None])[0]
+    leaves = [
+        b"".join(
+            struct.pack("<QQ", int(cw[i]), int(cw[i + half]))
+            for cw in codewords
+        )
+        for i in range(half)
+    ]
+    return MerkleTree(leaves)
+
+
+def commit_codeword_groups(
+    groups: Sequence[Sequence[Sequence[int]]],
+) -> List[MerkleTree]:
+    """Commit several equal-shape groups, batching device hashing into one
+    dispatch when the vectorized path applies (kind-8 statement batches)."""
+    from .merkle import build_forest_u64_groups
+
+    if (
+        DEVICE_HASH
+        and groups
+        and all(
+            isinstance(cw, np.ndarray) and cw.dtype == np.uint64
+            for grp in groups
+            for cw in grp
+        )
+        and len({len(grp) for grp in groups}) == 1
+        and len({len(cw) for grp in groups for cw in grp}) == 1
+        and len(groups[0][0]) // 2 >= _DEVICE_HASH_MIN_HALF
+    ):
+        stacked = np.stack([np.stack(grp) for grp in groups])  # [T, G, n]
+        return build_forest_u64_groups(stacked)
+    return [commit_codeword_group(grp) for grp in groups]
+
+
 def commit_codewords(codewords: Sequence[Sequence[int]]) -> List[MerkleTree]:
     """Merkle-commit several equal-size codewords, batching all device
     hashing into one dispatch when the vectorized path applies."""
@@ -386,13 +443,17 @@ MAX_AGGREGATE_STATEMENTS = 4096
 class FriParams:
     """Proximity-test parameters.
 
-    Defaults: rate 1/8 (log_blowup 3) with 30 queries ~ 90 bits of proximity
-    soundness; final polynomial capped at 8 coefficients.
+    Defaults: rate 1/8 (log_blowup 3) with 30 queries ~ 90 bits of
+    conjectured proximity soundness (docs/security_analysis.md §2/§5);
+    final polynomial capped at 64 coefficients — a larger final poly costs
+    512 B once but removes three committed fold layers, i.e. ~90 fewer
+    authentication paths per proof (~21 KB at m=2^13) and ~30% fewer
+    verifier hashes, with no effect on the proximity bound.
     """
 
     log_blowup: int = 3
     num_queries: int = 30
-    final_len: int = 8
+    final_len: int = 64
 
     def validate(self) -> None:
         if not 1 <= self.log_blowup <= 8:
@@ -453,13 +514,62 @@ class LayerOpening:
 
 
 @dataclasses.dataclass(frozen=True)
+class GroupOpening:
+    """One authenticated interleaved-group leaf: the (lo, hi) value pairs of
+    every oracle in the group at positions (i, i + N/2), under ONE path.
+
+    ``values`` is ``(lo_0, hi_0, lo_1, hi_1, ...)`` in oracle order —
+    exactly the leaf payload layout (wire-v3: one path per query opens a
+    whole statement's oracles; 4x fewer hashes and paths than the v2
+    per-oracle trees).
+    """
+
+    values: Tuple[int, ...]
+    path: bytes
+
+    def __post_init__(self) -> None:
+        if not isinstance(self.path, (bytes, bytearray)):
+            object.__setattr__(self, "path", b"".join(self.path))
+        if not isinstance(self.values, tuple):
+            object.__setattr__(self, "values", tuple(self.values))
+
+    def leaf_bytes(self) -> bytes:
+        return b"".join(struct.pack("<Q", int(v)) for v in self.values)
+
+    def to_bytes(self) -> bytes:
+        out = struct.pack("<B", len(self.values))
+        out += b"".join(struct.pack("<Q", int(v)) for v in self.values)
+        out += struct.pack("<B", len(self.path) // 32)
+        return out + self.path
+
+    @staticmethod
+    def read(data: bytes, off: int) -> Tuple["GroupOpening", int]:
+        if off + 1 > len(data):
+            raise SerializationError("truncated FRI group opening")
+        n_vals = data[off]
+        off += 1
+        if n_vals == 0 or n_vals & 1 or n_vals > 64:
+            raise SerializationError(f"bad group opening width {n_vals}")
+        if off + 8 * n_vals + 1 > len(data):
+            raise SerializationError("truncated group opening values")
+        values = struct.unpack_from(f"<{n_vals}Q", data, off)
+        off += 8 * n_vals
+        plen = data[off]
+        off += 1
+        end = off + 32 * plen
+        if end > len(data):
+            raise SerializationError("truncated group opening path")
+        return GroupOpening(values, data[off:end]), end
+
+
+@dataclasses.dataclass(frozen=True)
 class FriQuery:
-    input_openings: Tuple[LayerOpening, ...]  # one per input oracle
+    input_openings: Tuple[GroupOpening, ...]  # one per input oracle GROUP
     layer_openings: Tuple[LayerOpening, ...]  # one per committed fold layer
 
     def to_bytes(self) -> bytes:
-        # LE16 counts: an aggregated (kind-8) query opens 4*S input oracles,
-        # which exceeds u8 at S >= 64 (found by the aggregate scaling sweep)
+        # LE16 counts: an aggregated (kind-8) query opens S statement
+        # groups, which exceeds u8 at S >= 256
         out = struct.pack(
             "<HH", len(self.input_openings), len(self.layer_openings)
         )
@@ -475,16 +585,16 @@ class FriQuery:
             raise SerializationError("truncated FRI query")
         n_in, n_layer = struct.unpack_from("<HH", data, off)
         off += 4
-        # defense-in-depth bound (pre-0.7 blobs are already rejected at the
+        # defense-in-depth bound (pre-0.8 blobs are already rejected at the
         # header by the wire-version byte, proof/succinct.py)
-        if n_in > 4 * MAX_AGGREGATE_STATEMENTS or n_layer > 64:
+        if n_in > MAX_AGGREGATE_STATEMENTS or n_layer > 64:
             raise SerializationError(
                 f"unreasonable FRI query counts ({n_in}, {n_layer}) — "
-                "possibly a pre-0.7 proof blob (u8 count fields)"
+                "possibly a pre-0.8 proof blob"
             )
         ins = []
         for _ in range(n_in):
-            op, off = LayerOpening.read(data, off)
+            op, off = GroupOpening.read(data, off)
             ins.append(op)
         layers = []
         for _ in range(n_layer):
@@ -606,7 +716,7 @@ def _effective_final_len(d_bound: int, final_len: int) -> int:
 
 def fri_prove(
     g_codeword: List[int],
-    inputs: Sequence[Tuple[Sequence[int], MerkleTree]],
+    inputs: Sequence[Tuple[Sequence[Sequence[int]], MerkleTree]],
     offset: int,
     omega: int,
     q: int,
@@ -616,6 +726,10 @@ def fri_prove(
     """Prove that ``g_codeword`` (the virtual combined-quotient oracle built
     from the committed ``inputs``) is within proximity of degree <
     ``len(g_codeword) >> params.log_blowup``.
+
+    ``inputs`` is a sequence of GROUPS: ``(codewords, tree)`` where the tree
+    commits all of the group's codewords position-wise
+    (``commit_codeword_group``); each query opens one path per group.
 
     The caller must have absorbed the input roots and claimed evaluations
     into ``tr`` already; challenges and query indices are derived here in
@@ -662,12 +776,14 @@ def fri_prove(
     queries: List[FriQuery] = []
     for i0 in indices:
         input_openings = []
-        for values, tree in inputs:
-            half = len(values) // 2
+        for group_cws, tree in inputs:
+            half = len(group_cws[0]) // 2
+            vals = []
+            for cw in group_cws:
+                vals.append(int(cw[i0]))
+                vals.append(int(cw[i0 + half]))
             input_openings.append(
-                LayerOpening(
-                    int(values[i0]), int(values[i0 + half]), tuple(tree.path(i0))
-                )
+                GroupOpening(tuple(vals), tuple(tree.path(i0)))
             )
         layer_openings = []
         pos = i0  # position of the folded value inside the next layer
@@ -744,93 +860,96 @@ def _query_positions(indices, n0: int, n_layers: int) -> np.ndarray:
 
 def _verify_paths_native(
     proof: "FriProof",
-    input_roots: Sequence[bytes],
+    input_groups: Sequence[Tuple[bytes, int]],
     indices: Sequence[int],
     pos: np.ndarray,
     n0: int,
-    in_vals: np.ndarray,
+    grp_vals: Sequence[np.ndarray],
     lay_vals: np.ndarray,
 ) -> bool:
-    """Authenticate every input/layer opening of every query in ONE native
-    call (8-lane SoA Keccak, native/src/keccak_batch.cpp). Semantics are
-    exactly those of the per-path host loop (pinned in tests).
+    """Authenticate every group/layer opening of every query in a handful of
+    native calls (8-lane SoA Keccak, native/src/keccak_batch.cpp; one call
+    per distinct leaf width). Semantics are exactly those of the per-path
+    host loop (pinned in tests).
 
-    ``in_vals``/``lay_vals``: uint64 [q_n, n, 2] opened (lo, hi) values,
+    ``grp_vals[g]``: uint64 [q_n, 2*size_g] opened group values;
+    ``lay_vals``: uint64 [q_n, n_layers, 2] opened layer (lo, hi) values —
     collected once by the caller (shared with the field-math stage).
     """
     nb = _native()
     q_n = len(indices)
-    n_in = len(input_roots)
     n_layers = len(proof.layer_roots)
     depth_in = (n0 // 2).bit_length() - 1
     layer_depths = [(n0 >> (k + 2)).bit_length() - 1 for k in range(n_layers)]
-    max_depth = max([depth_in] + layer_depths) if q_n else 0
-    lanes = q_n * (n_in + n_layers)
-    if lanes == 0:
+    if q_n == 0:
         return True
+    idx_arr = np.asarray(indices, dtype=np.uint64)
 
-    leaves = np.empty((lanes, 16), dtype=np.uint8)
-    lane_idx = np.empty(lanes, dtype=np.uint64)
+    # input-group lanes, bucketed by leaf width (one native call per width)
+    sizes = sorted({size for _root, size in input_groups})
+    for size in sizes:
+        g_ids = [g for g, (_r, s) in enumerate(input_groups) if s == size]
+        n_g = len(g_ids)
+        lanes = q_n * n_g
+        leaf_len = 16 * size
+        leaves = np.empty((lanes, leaf_len), dtype=np.uint8)
+        sib = np.zeros((lanes, depth_in, 32), dtype=np.uint8)
+        roots = np.empty((lanes, 32), dtype=np.uint8)
+        # query-major, group-minor
+        for j, g in enumerate(g_ids):
+            leaves.reshape(q_n, n_g, leaf_len)[:, j] = (
+                np.ascontiguousarray(grp_vals[g]).view(np.uint8)
+            )
+            path_blob = b"".join(
+                qy.input_openings[g].path for qy in proof.queries
+            )
+            sib.reshape(q_n, n_g, depth_in, 32)[:, j] = np.frombuffer(
+                path_blob, dtype=np.uint8
+            ).reshape(q_n, depth_in, 32)
+        root_block = np.frombuffer(
+            b"".join(input_groups[g][0] for g in g_ids), dtype=np.uint8
+        ).reshape(n_g, 32)
+        roots[:] = np.tile(root_block, (q_n, 1))
+        lane_idx = np.repeat(idx_arr, n_g)
+        depths = np.full(lanes, depth_in, dtype=np.uint32)
+        ok = nb.merkle_verify_batch(leaves, lane_idx, sib, depths, roots)
+        if not bool(ok.all()):
+            return False
+
+    if n_layers == 0:
+        return True
+    lanes = q_n * n_layers
+    max_depth = max(layer_depths)
+    leaves = lay_vals.reshape(lanes, 2).view(np.uint8).reshape(lanes, 16)
+    lane_idx = pos[:, 1:].astype(np.uint64).reshape(-1)
     sib = np.zeros((lanes, max_depth, 32), dtype=np.uint8)
-    depths = np.empty(lanes, dtype=np.uint32)
-    roots = np.empty((lanes, 32), dtype=np.uint8)
-
-    # input lanes: query-major, oracle-minor (lanes [0, q_n*n_in))
-    n_in_lanes = q_n * n_in
-    leaves[:n_in_lanes] = in_vals.reshape(n_in_lanes, 2).view(np.uint8)
-    lane_idx[:n_in_lanes] = np.repeat(
-        np.asarray(indices, dtype=np.uint64), n_in
-    )
-    depths[:n_in_lanes] = depth_in
-    root_block = np.frombuffer(b"".join(input_roots), dtype=np.uint8).reshape(
-        n_in, 32
-    )
-    roots[:n_in_lanes] = np.tile(root_block, (q_n, 1))
-    path_blob = b"".join(
-        op.path for qy in proof.queries for op in qy.input_openings
-    )
-    # path lengths were checked exactly by the caller
-    sib[:n_in_lanes, :depth_in] = np.frombuffer(
-        path_blob, dtype=np.uint8
-    ).reshape(n_in_lanes, depth_in, 32)
-
-    # layer lanes: query-major, layer-minor
-    off = n_in_lanes
-    leaves[off:] = lay_vals.reshape(q_n * n_layers, 2).view(np.uint8)
-    lane_idx[off:] = pos[:, 1:].astype(np.uint64).reshape(-1)
-    layer_root_block = (
+    roots = np.tile(
         np.frombuffer(b"".join(proof.layer_roots), dtype=np.uint8).reshape(
             n_layers, 32
-        )
-        if n_layers
-        else np.empty((0, 32), dtype=np.uint8)
+        ),
+        (q_n, 1),
     )
-    roots[off:] = np.tile(layer_root_block, (q_n, 1))
-    depths[off:] = np.tile(
-        np.asarray(layer_depths, dtype=np.uint32), q_n
-    )
+    depths = np.tile(np.asarray(layer_depths, dtype=np.uint32), q_n)
     lay_blob = b"".join(
         op.path for qy in proof.queries for op in qy.layer_openings
     )
-    if n_layers:
-        stride = sum(layer_depths) * 32  # bytes per query's layer paths
-        blob_arr = np.frombuffer(lay_blob, dtype=np.uint8).reshape(q_n, stride)
-        lay_sib = sib[off:].reshape(q_n, n_layers, max_depth, 32)
-        cursor = 0
-        for k in range(n_layers):
-            d = layer_depths[k]
-            lay_sib[:, k, :d] = blob_arr[
-                :, cursor : cursor + d * 32
-            ].reshape(q_n, d, 32)
-            cursor += d * 32
-
+    stride = sum(layer_depths) * 32  # bytes per query's layer paths
+    blob_arr = np.frombuffer(lay_blob, dtype=np.uint8).reshape(q_n, stride)
+    lay_sib = sib.reshape(q_n, n_layers, max_depth, 32)
+    cursor = 0
+    for k in range(n_layers):
+        d = layer_depths[k]
+        lay_sib[:, k, :d] = blob_arr[:, cursor : cursor + d * 32].reshape(
+            q_n, d, 32
+        )
+        cursor += d * 32
     ok = nb.merkle_verify_batch(leaves, lane_idx, sib, depths, roots)
     return bool(ok.all())
 
 
 def fri_verify(
     proof: FriProof,
-    input_roots: Sequence[bytes],
+    input_groups: Sequence,
     g_eval: Callable[[int, int, Sequence[int], Sequence[int]], Tuple[int, int]],
     n0: int,
     offset: int,
@@ -842,9 +961,15 @@ def fri_verify(
 ) -> bool:
     """Verify a FriProof.
 
+    ``input_groups`` is a sequence of ``(root, group_size)`` pairs — each
+    input oracle GROUP is one interleaved tree committing ``group_size``
+    codewords position-wise (``commit_codeword_group``); a bare root is
+    accepted as shorthand for a size-1 group.
+
     ``g_eval(index, half, lo_values, hi_values) -> (g_lo, g_hi)`` computes the
     virtual oracle at positions ``index`` and ``index + half`` from the
-    authenticated per-input codeword values (one lo/hi pair per input oracle).
+    authenticated per-oracle codeword values (flattened across groups in
+    group order, one lo/hi pair per oracle).
 
     ``deep`` optionally supplies the standard batched-DEEP oracle shape as
     six length-``n_in`` arrays ``(wa, wb, ea, eb, alphas, betas)`` meaning
@@ -891,30 +1016,44 @@ def fri_verify(
     if inv2 is None or inv_offset is None or inv_omega is None:
         return False
 
-    n_in = len(input_roots)
+    groups = [
+        (g, 1) if isinstance(g, (bytes, bytearray)) else (g[0], int(g[1]))
+        for g in input_groups
+    ]
+    n_groups = len(groups)
+    n_in = sum(size for _r, size in groups)  # total oracle count
     n_layers = len(proof.layer_roots)
     q_n = len(indices)
     depth_in = (n0 // 2).bit_length() - 1
     layer_depths = [(n0 >> (k + 2)).bit_length() - 1 for k in range(n_layers)]
     for query in proof.queries:
-        if len(query.input_openings) != n_in:
+        if len(query.input_openings) != n_groups:
             return False
         if len(query.layer_openings) != n_layers:
             return False
-        for op in query.input_openings:
+        for op, (_root, size) in zip(query.input_openings, groups):
+            if len(op.values) != 2 * size:
+                return False
             if len(op.path) != 32 * depth_in:
                 return False
         for k, op in enumerate(query.layer_openings):
             if len(op.path) != 32 * layer_depths[k]:
                 return False
     try:
-        in_vals = np.array(
-            [
-                [(op.v_lo, op.v_hi) for op in qy.input_openings]
-                for qy in proof.queries
-            ],
-            dtype=np.uint64,
-        ).reshape(q_n, n_in, 2)
+        # per-group opened values [q_n, 2*size] plus the flattened
+        # per-oracle (lo, hi) matrix [q_n, n_in, 2] the field math consumes
+        grp_vals = [
+            np.array(
+                [qy.input_openings[g].values for qy in proof.queries],
+                dtype=np.uint64,
+            ).reshape(q_n, 2 * size)
+            for g, (_root, size) in enumerate(groups)
+        ]
+        in_vals = (
+            np.concatenate(grp_vals, axis=1).reshape(q_n, n_in, 2)
+            if n_groups
+            else np.empty((q_n, 0, 2), dtype=np.uint64)
+        )
         lay_vals = np.array(
             [
                 [(op.v_lo, op.v_hi) for op in qy.layer_openings]
@@ -937,7 +1076,7 @@ def fri_verify(
     if use_native:
         nb = _native()
         if not _verify_paths_native(
-            proof, input_roots, indices, pos, n0, in_vals, lay_vals
+            proof, groups, indices, pos, n0, grp_vals, lay_vals
         ):
             return False
         idx_arr = np.asarray(indices, dtype=np.uint64)
@@ -970,9 +1109,8 @@ def fri_verify(
         )
 
     for qi, (i0, query) in enumerate(zip(indices, proof.queries)):
-        for op, root in zip(query.input_openings, input_roots):
-            leaf = struct.pack("<QQ", op.v_lo, op.v_hi)
-            if not verify_path(root, i0, leaf, op.path):
+        for op, (root, _size) in zip(query.input_openings, groups):
+            if not verify_path(root, i0, op.leaf_bytes(), op.path):
                 return False
         for k, op in enumerate(query.layer_openings):
             leaf = struct.pack("<QQ", op.v_lo, op.v_hi)
@@ -980,8 +1118,8 @@ def fri_verify(
                 proof.layer_roots[k], int(pos[qi, k + 1]), leaf, op.path
             ):
                 return False
-        lo_vals = [op.v_lo for op in query.input_openings]
-        hi_vals = [op.v_hi for op in query.input_openings]
+        lo_vals = [int(v) for v in in_vals[qi, :, 0]]
+        hi_vals = [int(v) for v in in_vals[qi, :, 1]]
         try:
             g_lo, g_hi = g_eval(i0, half0, lo_vals, hi_vals)
         except DomainError:

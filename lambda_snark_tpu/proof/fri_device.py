@@ -44,6 +44,7 @@ from .fri import (
     FriProof,
     FriQuery,
     FriTranscript,
+    GroupOpening,
     LayerOpening,
     _effective_final_len,
     _gl_powers,
@@ -143,6 +144,54 @@ def commit_planes_dev(planes4) -> DevForest:
     if n < 4 or n & (n - 1):
         raise DomainError(f"codeword size must be a power of two >= 4, got {n}")
     return forest_from_levels(_tree_from_planes_fn(t, n)(planes4))
+
+
+def _tree_levels_in_graph_groups(planesK, looped: bool = False) -> List:
+    """(4, S, K, n) planes -> lane-major digest levels [8, S, rows] for S
+    interleaved-group trees (leaf i concatenates all K oracles' (lo, hi)
+    pairs — the layout of ``fri.commit_codeword_group``)."""
+    half = planesK.shape[-1] // 2
+    low32 = planesK[0] | (planesK[1] << 16)  # (S, K, n)
+    high32 = planesK[2] | (planesK[3] << 16)
+    words = []
+    for k in range(planesK.shape[2]):
+        words.append(low32[:, k, :half])
+        words.append(high32[:, k, :half])
+        words.append(low32[:, k, half:])
+        words.append(high32[:, k, half:])
+    levels = [kp.hash_leaves_flex(words, looped)]
+    cur = levels[0]
+    size = half
+    while size > 1:
+        cur = kp.hash_nodes(cur[..., 0::2], cur[..., 1::2], looped)
+        levels.append(cur)
+        size //= 2
+    return levels
+
+
+_TREE_GROUP_CACHE: dict = {}
+
+
+def _tree_from_planes_groups_fn(s: int, k: int, n: int):
+    key = (s, k, n)
+    if key in _TREE_GROUP_CACHE:
+        return _TREE_GROUP_CACHE[key]
+    import jax
+
+    fn = jax.jit(
+        lambda planesK: tuple(_tree_levels_in_graph_groups(planesK, True))
+    )
+    _TREE_GROUP_CACHE[key] = fn
+    return fn
+
+
+def commit_planes_dev_groups(planesK) -> DevForest:
+    """(4, S, K, n) device planes -> DevForest of S interleaved-group trees
+    (one dispatch + one 32 B/tree root pull)."""
+    _four, s, k, n = planesK.shape
+    if n < 4 or n & (n - 1):
+        raise DomainError(f"codeword size must be a power of two >= 4, got {n}")
+    return forest_from_levels(_tree_from_planes_groups_fn(s, k, n)(planesK))
 
 
 # --- fold -----------------------------------------------------------------------
@@ -437,16 +486,21 @@ def fri_prove_device(
     q: int,
     params: FriParams,
     trs: Sequence[FriTranscript],
+    n_groups: int = 1,
 ) -> List[FriProof]:
     """Batched device-resident ``fri.fri_prove``; returns one FriProof per
     statement, byte-identical to the host prover.
 
     g_planes: (4, S, n0) device planes of the combined DEEP quotients.
     input_planes: (4, S, K, n0) device planes of the committed input
-    codewords (K per statement). input_forest: DevForest of S*K trees in
-    s-major order (tree s*K + k), as built by ``commit_planes_dev`` on
-    input_planes reshaped to (4, S*K, n0). trs: one transcript per
-    statement, already seeded with roots/evals by the caller.
+    codewords (K per statement). input_forest: DevForest of S
+    interleaved-group trees as built by ``commit_planes_dev_groups`` on
+    input_planes. trs: one transcript per statement, already seeded with
+    roots/evals by the caller.
+
+    ``n_groups > 1`` (the aggregate prover): each FRI statement's K oracles
+    split into n_groups interleaved trees of K/n_groups oracles each
+    (tree order s-major, group-minor), all opened at the shared indices.
     """
     if q != P:
         raise DomainError("device FRI is implemented for the Goldilocks modulus")
@@ -454,11 +508,13 @@ def fri_prove_device(
     if DEVICE_TRANSCRIPT:
         return fri_prove_device_chain(
             g_planes, input_planes, input_forest, offset, omega, q, params,
-            trs,
+            trs, n_groups=n_groups,
         )
     _four, s, k_in, n0 = input_planes.shape
     assert g_planes.shape == (_D, s, n0)
-    assert input_forest.n_trees == s * k_in
+    assert input_forest.n_trees == s * n_groups
+    gsize = k_in // n_groups
+    assert gsize * n_groups == k_in
     d_bound = n0 >> params.log_blowup
     final_len = _effective_final_len(d_bound, params.final_len)
     tabs = _layer_inv_tables(n0, offset, omega)
@@ -529,11 +585,13 @@ def fri_prove_device(
     add("planesK", input_planes, idx_s + half0, (4, s, k_in, nq))
     # input forest siblings: full path device-gathered, sibling (i0>>l)^1
     d_dev_in = len(input_forest.levels_dev)
-    idx_rep = np.repeat(idx_s, k_in, axis=0)  # (S*K, Q), s-major
+    idx_rep = (
+        np.repeat(idx_s, n_groups, axis=0) if n_groups > 1 else idx_s
+    )  # (S*G, Q)
     for lvl in range(d_dev_in - 1):
         sib = ((idx_rep >> lvl) ^ 1).astype(np.int32)
         add("level", input_forest.levels_dev[lvl], sib,
-            (8, s * k_in, nq))
+            (8, s * n_groups, nq))
     # committed layers
     pos = idx_s.copy()  # folded position inside the next layer
     layer_meta = []
@@ -569,19 +627,17 @@ def fri_prove_device(
         queries: List[FriQuery] = []
         for qi in range(nq):
             input_openings = []
-            for k in range(k_in):
-                tree_idx = si * k_in + k
+            for g in range(n_groups):
+                tree_idx = si * n_groups + g
                 path = [
                     _digest_bytes(in_sibs[lvl][:, tree_idx, qi])
                     for lvl in range(d_dev_in - 1)
                 ]
-                input_openings.append(
-                    LayerOpening(
-                        _u64_of_plane_cols(in_lo[:, si, k, qi]),
-                        _u64_of_plane_cols(in_hi[:, si, k, qi]),
-                        tuple(path),
-                    )
-                )
+                vals = []
+                for k in range(g * gsize, (g + 1) * gsize):
+                    vals.append(_u64_of_plane_cols(in_lo[:, si, k, qi]))
+                    vals.append(_u64_of_plane_cols(in_hi[:, si, k, qi]))
+                input_openings.append(GroupOpening(tuple(vals), tuple(path)))
             layer_openings = []
             for (p, d_dev, forest, v_lo, v_hi, sibs) in layer_parts:
                 path = [
@@ -725,7 +781,7 @@ _CHAIN_CACHE: dict = {}
 
 def _chain_fn(key, n0: int, s: int, k_in: int, d_bound: int, final_len: int,
               num_queries: int, offset: int, omega: int, counter0: int,
-              n_input_levels: int):
+              n_input_levels: int, n_groups: int = 1):
     """Build + cache the single-dispatch chain for a static config."""
     if key in _CHAIN_CACHE:
         return _CHAIN_CACHE[key]
@@ -814,7 +870,7 @@ def _chain_fn(key, n0: int, s: int, k_in: int, d_bound: int, final_len: int,
             _take_spec("planesK", input_planes, idx),
             _take_spec("planesK", input_planes, idx + half0),
         ]
-        idx_rep = jnp.repeat(idx, k_in, axis=0)  # (S*K, Q)
+        idx_rep = jnp.repeat(idx, n_groups, axis=0) if n_groups > 1 else idx
         for lvl in range(n_input_levels - 1):
             sib = (idx_rep >> lvl) ^ 1
             outs.append(_take_spec("level", input_levels[lvl], sib))
@@ -853,6 +909,7 @@ def fri_chain_dispatch(
     q: int,
     params: FriParams,
     trs: Sequence[FriTranscript],
+    n_groups: int = 1,
 ):
     """Enqueue the single-dispatch FRI chain; returns ``(bundle_dev, cfg)``
     where ``bundle_dev`` is the (device) flat result array and ``cfg`` the
@@ -878,9 +935,9 @@ def fri_chain_dispatch(
     )  # (8, S)
     n_input_levels = len(input_forest.levels_dev)
     key = (s, k_in, n0, params.log_blowup, final_len, params.num_queries,
-           offset, omega, counter0)
+           offset, omega, counter0, n_groups)
     fn = _chain_fn(key, n0, s, k_in, d_bound, final_len, params.num_queries,
-                   offset, omega, counter0, n_input_levels)
+                   offset, omega, counter0, n_input_levels, n_groups)
     from ..utils.timing import stage
 
     stage("chain:dispatch")
@@ -888,7 +945,7 @@ def fri_chain_dispatch(
         g_planes, input_planes, tuple(input_forest.levels_dev), state, tabs
     )
     cfg = (s, k_in, n0, d_bound, final_len, params.num_queries,
-           n_input_levels)
+           n_input_levels, n_groups)
     return bundle_dev, cfg
 
 
@@ -901,6 +958,7 @@ def fri_prove_device_chain(
     q: int,
     params: FriParams,
     trs: Sequence[FriTranscript],
+    n_groups: int = 1,
 ) -> List[FriProof]:
     """Single-dispatch ``fri_prove_device``: the Fiat-Shamir transcript runs
     on device, so folds, Merkle commits, the final polynomial, query index
@@ -909,7 +967,8 @@ def fri_prove_device_chain(
     Byte-identical to ``fri.fri_prove``.
     """
     bundle_dev, cfg = fri_chain_dispatch(
-        g_planes, input_planes, input_forest, offset, omega, q, params, trs
+        g_planes, input_planes, input_forest, offset, omega, q, params, trs,
+        n_groups=n_groups,
     )
     return fri_chain_finish(bundle_dev, cfg)
 
@@ -918,11 +977,12 @@ def fri_chain_finish(bundle_dev, cfg) -> List[FriProof]:
     """Pull a chain bundle (ONE transfer) and reconstruct the FriProofs."""
     from ..utils.timing import stage
 
-    s, k_in, n0, d_bound, final_len, nq, n_input_levels = cfg
+    s, k_in, n0, d_bound, final_len, nq, n_input_levels, n_groups = cfg
+    gsize = k_in // n_groups
     bundle = np.asarray(bundle_dev)
     stage("chain:bundle-pulled")
     shapes = [(4, s, k_in, nq), (4, s, k_in, nq)]
-    shapes += [(8, s * k_in, nq)] * (n_input_levels - 1)
+    shapes += [(8, s * n_groups, nq)] * (n_input_levels - 1)
     n_k = n0
     d = d_bound
     layer_leaves = []
@@ -953,7 +1013,7 @@ def fri_chain_finish(bundle_dev, cfg) -> List[FriProof]:
     in_lo = from_limbs_u64(next(part_iter))  # (S, K, Q)
     in_hi = from_limbs_u64(next(part_iter))
     in_sibs = [
-        _digest_block_bytes(next(part_iter))  # (S*K, Q, 32)
+        _digest_block_bytes(next(part_iter))  # (S*G, Q, 32)
         for _ in range(n_input_levels - 1)
     ]
     layer_parts = []
@@ -993,22 +1053,17 @@ def fri_chain_finish(bundle_dev, cfg) -> List[FriProof]:
     for si in range(s):
         queries: List[FriQuery] = []
         for qi in range(nq):
-            input_openings = []
-            for k in range(k_in):
-                tree_idx = si * k_in + k
-                off0 = (tree_idx * nq + qi) * 32
-                path = [
-                    flat[off0:off0 + 32] for flat in in_sib_flat
-                ]
-                input_openings.append(
-                    LayerOpening(
-                        in_lo_l[si][k][qi],
-                        in_hi_l[si][k][qi],
-                        tuple(path),
-                    )
-                )
-            layer_openings = []
             off1 = (si * nq + qi) * 32
+            input_openings = []
+            for g in range(n_groups):
+                off0 = ((si * n_groups + g) * nq + qi) * 32
+                path = [flat[off0:off0 + 32] for flat in in_sib_flat]
+                vals = []
+                for k in range(g * gsize, (g + 1) * gsize):
+                    vals.append(in_lo_l[si][k][qi])
+                    vals.append(in_hi_l[si][k][qi])
+                input_openings.append(GroupOpening(tuple(vals), tuple(path)))
+            layer_openings = []
             for (v_lo, v_hi, sib_flats) in layer_parts_l:
                 path = [flat[off1:off1 + 32] for flat in sib_flats]
                 layer_openings.append(

@@ -125,6 +125,29 @@ def build_forest_u64_pairs(v_lo: np.ndarray, v_hi: np.ndarray) -> List[MerkleTre
     return trees
 
 
+def build_forest_u64_groups(vals: np.ndarray) -> List[MerkleTree]:
+    """Build T interleaved-group trees with device-batched hashing.
+
+    vals: uint64 [T, G, n]; leaf i of tree t is
+    ``0x00 || concat_g pack("<QQ", vals[t,g,i], vals[t,g,i+n/2])`` — one
+    tree committing all G codewords of a group position-wise (wire-v3
+    input-oracle layout: one authentication path opens every oracle).
+    """
+    from ..ops import keccak_jax as kj
+
+    t, g, n = vals.shape
+    half = n // 2
+    if half == 0 or (half & (half - 1)) != 0:
+        raise ValueError(f"Merkle leaf count must be a power of two, got {half}")
+    word_levels = kj.merkle_levels_u64_groups(vals, min_rows=_DEVICE_TOP_ROWS)
+    byte_levels = [kj.digest_words_to_bytes(level) for level in word_levels]
+    trees = []
+    for ti in range(t):
+        levels = [np.ascontiguousarray(level[ti]) for level in byte_levels]
+        trees.append(MerkleTree(_levels=_finish_levels(levels)))
+    return trees
+
+
 def verify_path(
     root: bytes, index: int, leaf_data: bytes, path
 ) -> bool:

@@ -75,10 +75,12 @@ KIND_R1CS_SUCCINCT = 7
 
 #: Wire-format version for the FRI-carrying kinds (7/8/9), written right
 #: after the kind byte. Bumped 1 -> 2 when the FriQuery count fields grew
-#: u8 -> u16; pre-0.7 blobs have the modulus LE-word there instead, whose
-#: first byte is odd (every supported modulus is an odd prime), so they are
-#: rejected deterministically at the header (ADVICE r4 #1).
-WIRE_VERSION = 2
+#: u8 -> u16 (pre-0.7 blobs have the modulus LE-word there instead, whose
+#: first byte is odd — every supported modulus is an odd prime — so they are
+#: rejected deterministically at the header, ADVICE r4 #1); bumped 2 -> 3
+#: when the input oracles moved to ONE interleaved tree per statement
+#: (GroupOpening leaves: 4x fewer paths and hashes per query).
+WIRE_VERSION = 3
 
 
 def _check_wire_version(data: bytes, off: int) -> int:
@@ -228,7 +230,7 @@ class SuccinctProofR1CS:
     """
 
     commitment_q: lwe.Commitment  # lattice commitment to the unmasked Q
-    input_roots: Tuple[bytes, ...]  # Merkle roots: A~, B~, C~, Q~
+    input_root: bytes  # ONE interleaved Merkle root committing A~, B~, C~, Q~
     challenge_alpha: Challenge
     challenge_beta: Challenge
     # claimed evaluations at alpha then beta (A~, B~, C~, Q~)
@@ -275,8 +277,7 @@ class SuccinctProofR1CS:
         words = self.commitment_q.as_words()
         out += struct.pack("<Q", len(words))
         out += b"".join(struct.pack("<Q", int(w)) for w in words)
-        for root in self.input_roots:
-            out += root
+        out += self.input_root
         out += self.challenge_alpha.to_bytes() + self.challenge_beta.to_bytes()
         out += struct.pack("<8Q", *self._evals())
         out += self.fri.to_bytes()
@@ -303,12 +304,10 @@ class SuccinctProofR1CS:
             raise SerializationError("truncated commitment words")
         words = list(struct.unpack_from(f"<{n_words}Q", data, off)) if n_words else []
         off += 8 * n_words
-        roots = []
-        for _ in range(4):
-            if off + 32 > len(data):
-                raise SerializationError("truncated input roots")
-            roots.append(data[off : off + 32])
-            off += 32
+        if off + 32 > len(data):
+            raise SerializationError("truncated input root")
+        input_root = data[off : off + 32]
+        off += 32
         if off + 80 > len(data):
             raise SerializationError("truncated challenges")
         ch_a = Challenge.from_bytes(data[off : off + 40])
@@ -321,7 +320,7 @@ class SuccinctProofR1CS:
         fri_proof, off = FriProof.read(data, off)
         return SuccinctProofR1CS(
             commitment_q=lwe.Commitment(np.array(words, dtype=np.uint64)),
-            input_roots=tuple(roots),
+            input_root=input_root,
             challenge_alpha=ch_a,
             challenge_beta=ch_b,
             a_alpha=evals[0],
@@ -488,19 +487,19 @@ def prove_r1cs_succinct(
             polys, n0, offset, q, pull_values=False
         )
         codewords = None  # device DEEP: codewords never visit the host
-        forest = fri_device.commit_planes_dev(planes_dev)
-        roots = list(forest.roots)
-    elif device_lde:
-        from .fri import lde_batch_device
-
-        codewords = lde_batch_device(polys, n0, offset, q)
+        forest = fri_device.commit_planes_dev_groups(planes_dev[:, None])
+        root = forest.roots[0]
     else:
-        codewords = [lde(p, n0, offset, omega_n, q) for p in polys]
-    if not use_device_fri:
-        from .fri import commit_codewords
+        if device_lde:
+            from .fri import lde_batch_device
 
-        trees = commit_codewords(codewords)
-        roots = [t.root for t in trees]
+            codewords = lde_batch_device(polys, n0, offset, q)
+        else:
+            codewords = [lde(p, n0, offset, omega_n, q) for p in polys]
+        from .fri import commit_codeword_group
+
+        tree = commit_codeword_group(codewords)
+        root = tree.root
 
     # The lattice layer commits the *unmasked* quotient (LWE commitments are
     # hiding on their own); the masked Q~ is bound by its Merkle root. This
@@ -510,7 +509,7 @@ def prove_r1cs_succinct(
     comm_words = np.concatenate(
         [
             np.asarray(commitment_q.words, dtype=np.uint64),
-            np.array(_roots_to_words(roots), dtype=np.uint64),
+            np.array(_roots_to_words([root]), dtype=np.uint64),
         ]
     )
     public_inputs = r1cs.public_inputs(witness)
@@ -527,7 +526,7 @@ def prove_r1cs_succinct(
         ]
 
     tr = _seed_fri_transcript(
-        q, m, mask_len, params, d_bound, roots, alpha, beta, evals
+        q, m, mask_len, params, d_bound, [root], alpha, beta, evals
     )
     lam = tr.challenge_field(q, b"fri-lambda")
 
@@ -588,11 +587,11 @@ def prove_r1cs_succinct(
         )[0]
     else:
         fri_proof = fri_prove(
-            g, list(zip(codewords, trees)), offset, omega_n, q, params, tr
+            g, [(codewords, tree)], offset, omega_n, q, params, tr
         )
     return SuccinctProofR1CS(
         commitment_q=commitment_q,
-        input_roots=tuple(roots),
+        input_root=root,
         challenge_alpha=ch_alpha,
         challenge_beta=ch_beta,
         a_alpha=evals[0],
@@ -642,11 +641,11 @@ def verify_r1cs_succinct(
     if not params.at_least(floor):
         return False
 
-    # 1. dual challenges bind LWE words + all four Merkle roots
+    # 1. dual challenges bind LWE words + the interleaved input root
     comm_words = np.concatenate(
         [
             np.asarray(proof.commitment_q.words, dtype=np.uint64),
-            np.array(_roots_to_words(proof.input_roots), dtype=np.uint64),
+            np.array(_roots_to_words([proof.input_root]), dtype=np.uint64),
         ]
     )
     ch_alpha = Challenge.derive(public_inputs, comm_words, q)
@@ -677,7 +676,7 @@ def verify_r1cs_succinct(
     # 3. FRI: every claimed evaluation is bound to its committed polynomial
     offset = coset_offset(q)
     tr = _seed_fri_transcript(
-        q, r1cs.m, proof.mask_len, params, d_bound, proof.input_roots,
+        q, r1cs.m, proof.mask_len, params, d_bound, [proof.input_root],
         alpha, beta, evals,
     )
     lam = tr.challenge_field(q, b"fri-lambda")
@@ -708,8 +707,8 @@ def verify_r1cs_succinct(
         return out[0], out[1]
 
     return fri_verify(
-        proof.fri, proof.input_roots, g_eval, n0, offset, omega_n, q, params,
-        tr, deep=_deep_arrays(lam, evals, alpha, beta, q),
+        proof.fri, [(proof.input_root, 4)], g_eval, n0, offset, omega_n, q,
+        params, tr, deep=_deep_arrays(lam, evals, alpha, beta, q),
     )
 
 
@@ -768,7 +767,7 @@ def succinct_view(proof: SuccinctProofR1CS, r1cs: R1CS) -> SuccinctView:
     evals = proof._evals()
     tr = _seed_fri_transcript(
         proof.modulus, r1cs.m, proof.mask_len, params, d_bound,
-        proof.input_roots, proof.challenge_alpha.alpha,
+        [proof.input_root], proof.challenge_alpha.alpha,
         proof.challenge_beta.alpha, evals,
     )
     tr.challenge_field(proof.modulus, b"fri-lambda")
@@ -781,7 +780,10 @@ def succinct_view(proof: SuccinctProofR1CS, r1cs: R1CS) -> SuccinctView:
         n0 // 2, params.num_queries, b"fri-query"
     )
     leaves = tuple(
-        tuple((op.v_lo, op.v_hi) for op in qr.input_openings)
+        tuple(
+            (qr.input_openings[0].values[2 * k], qr.input_openings[0].values[2 * k + 1])
+            for k in range(4)
+        )
         for qr in proof.fri.queries
     )
     return SuccinctView(

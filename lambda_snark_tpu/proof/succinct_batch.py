@@ -47,10 +47,12 @@ from .fri import (
     FriParams,
     FriProof,
     FriQuery,
+    GroupOpening,
     LayerOpening,
     _effective_final_len,
     _gl_pow_array,
     _gl_powers,
+    commit_codeword_groups,
     commit_codewords,
     coset_offset,
     root_of_order,
@@ -195,7 +197,7 @@ def _fold_batch(
 
 def _fri_prove_batch(
     g: np.ndarray,
-    inputs,  # list over statements of list of (codeword [n0], MerkleTree)
+    inputs,  # list over statements of (group codewords [K, n0], MerkleTree)
     offset: int,
     omega: int,
     params: FriParams,
@@ -249,14 +251,13 @@ def _fri_prove_batch(
         indices = trs[i].challenge_indices(n0 // 2, params.num_queries, b"fri-query")
         queries: List[FriQuery] = []
         for i0 in indices:
-            input_openings = []
-            for values, tree in inputs[i]:
-                half = len(values) // 2
-                input_openings.append(
-                    LayerOpening(
-                        int(values[i0]), int(values[i0 + half]), tuple(tree.path(i0))
-                    )
-                )
+            group_cws, tree = inputs[i]
+            half = len(group_cws[0]) // 2
+            vals = []
+            for cwk in group_cws:
+                vals.append(int(cwk[i0]))
+                vals.append(int(cwk[i0 + half]))
+            input_openings = [GroupOpening(tuple(vals), tuple(tree.path(i0)))]
             layer_openings = []
             pos = i0
             for values, trees in zip(committed, layer_trees):
@@ -403,14 +404,14 @@ def prove_r1cs_succinct_batch(
             g = glnp.gl_add(g, glnp.gl_add(term_a, term_b))
             lam_pow = glnp.gl_mul(lam2, lams)
         inputs = [
-            [(cw[i, k], trees[i][k]) for k in range(4)] for i in range(s)
+            ([cw[i, k] for k in range(4)], trees[i]) for i in range(s)
         ]
         fri_proofs = _fri_prove_batch(g, inputs, offset, omega_n, params, trs)
 
     return [
         SuccinctProofR1CS(
             commitment_q=commitments[i],
-            input_roots=tuple(roots[i]),
+            input_root=roots[i][0],
             challenge_alpha=chals[i][0],
             challenge_beta=chals[i][1],
             a_alpha=int(evals[i, 0]),
@@ -513,7 +514,7 @@ def _device_frontend(
             ctx, [_gl_trim(q_poly[i]) for i in range(s)], list(seeds)
         )
     stage("frontend:lde-pulled")
-    roots = [list(forest.roots[4 * i : 4 * i + 4]) for i in range(s)]
+    roots = [[forest.roots[i]] for i in range(s)]
     chals, alphas, betas = _derive_batch_challenges(
         r1cs, witnesses, commitments, roots, q
     )
@@ -675,9 +676,11 @@ def _gl_batch_frontend(
             polys, n0, offset, q, pull_values=False
         )
         cw = None  # device DEEP: codewords never visit the host
-        forest = fri_device.commit_planes_dev(planes_dev)
+        forest = fri_device.commit_planes_dev_groups(
+            planes_dev.reshape(4, s, 4, n0)
+        )
         trees = None
-        roots = [list(forest.roots[4 * i : 4 * i + 4]) for i in range(s)]
+        roots = [[forest.roots[i]] for i in range(s)]
     else:
         if device_lde:
             from .fri import lde_batch_device
@@ -692,12 +695,12 @@ def _gl_batch_frontend(
             ]
         cw = np.stack(codewords).reshape(s, 4, n0)
 
-        # 5. Merkle commitments: ONE batched Keccak dispatch for all 4*S trees
-        trees_flat = commit_codewords(
-            [cw[i, k] for i in range(s) for k in range(4)]
+        # 5. Merkle commitments: ONE batched Keccak dispatch, one
+        # interleaved tree per statement (wire v3)
+        trees = commit_codeword_groups(
+            [[cw[i, k] for k in range(4)] for i in range(s)]
         )
-        trees = [trees_flat[4 * i : 4 * i + 4] for i in range(s)]
-        roots = [[t.root for t in trees[i]] for i in range(s)]
+        roots = [[trees[i].root] for i in range(s)]
 
     # 6. lattice commitments + dual Fiat–Shamir challenges (per statement)
     commitments = []
@@ -787,7 +790,7 @@ def _prove_pipelined(
     for sl, lde, deferred, polys_dev in phase_a:
         commitments, forest = sd.finish_quotient_lde(deferred)
         sc = sl.stop - sl.start
-        roots = [list(forest.roots[4 * i : 4 * i + 4]) for i in range(sc)]
+        roots = [[forest.roots[i]] for i in range(sc)]
         chals, alphas, betas = _derive_batch_challenges(
             r1cs, witnesses[sl.start : sl.stop], commitments, roots, q
         )
@@ -812,7 +815,7 @@ def _prove_pipelined(
             proofs.append(
                 SuccinctProofR1CS(
                     commitment_q=commitments[i],
-                    input_roots=tuple(roots[i]),
+                    input_root=roots[i][0],
                     challenge_alpha=chals[i][0],
                     challenge_beta=chals[i][1],
                     a_alpha=int(evals[i, 0]),

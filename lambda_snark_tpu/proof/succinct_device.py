@@ -108,8 +108,11 @@ def _quotient_lde_fn(s: int, m: int, n0: int, offset: int,
             _CTX, padded, jnp.asarray(tw)[:, None, None, :]
         )
         lde = _four_step_forward(fsp, twisted.reshape(_D, s * 4, n0))
-        # Merkle digest levels in the SAME dispatch (no extra barrier)
-        levels = fri_device._tree_levels_in_graph(lde, looped=True)
+        # Merkle digest levels in the SAME dispatch (no extra barrier):
+        # ONE interleaved tree per statement (wire-v3 group leaves)
+        levels = fri_device._tree_levels_in_graph_groups(
+            lde.reshape(_D, s, 4, n0), looped=True
+        )
         if commit_shape is None:
             return lde, q_poly, all_polys, tuple(levels)
         from ..commit.lwe_jax import commit_in_graph_chacha
@@ -153,8 +156,8 @@ def quotient_lde_device(
       and the pull halves (c words instead of q digit planes),
     - ``polys_dev``: device (4, S, 4, m) coefficient planes for
       ``eval_device``,
-    - ``forest``: DevForest of the 4*S Merkle trees (levels computed in the
-      same dispatch).
+    - ``forest``: DevForest of the S interleaved-group Merkle trees (one
+      per statement; levels computed in the same dispatch).
     """
     import jax.numpy as jnp
 
@@ -210,7 +213,7 @@ def finish_quotient_lde(deferred):
     host_pack, s, n_ring, levels = deferred
     hp = np.asarray(host_pack)  # one pull: c words + root words
     cw = hp[: 2 * s * n_ring].reshape(2, s, n_ring)
-    root_words = hp[2 * s * n_ring:].reshape(8, 4 * s)
+    root_words = hp[2 * s * n_ring:].reshape(8, s)
     c_u64 = cw[0].astype(np.uint64) | (cw[1].astype(np.uint64) << np.uint64(32))
     commitments = [lwe_mod.Commitment(c_u64[i]) for i in range(s)]
     forest = fri_device.forest_from_levels(levels, root_words=root_words)

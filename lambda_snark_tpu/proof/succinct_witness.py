@@ -80,7 +80,7 @@ from .fri import (
     _gl_pow_array,
     _gl_powers,
     batch_inverse,
-    commit_codewords,
+    commit_codeword_group,
     coset_offset,
     coset_points,
     fri_prove,
@@ -268,15 +268,15 @@ def _fold_by_vanishing(f: Sequence[int], M: int, q: int):
 class WitnessProofR1CS:
     """Succinct R1CS proof with committed-witness binding (wire kind 9).
 
-    ``input_roots`` are the pre-challenge oracles in commit order
-    (A~, B~, C~, Q~, z^[, mu]); ``sum_roots`` are the post-(r, eta, tau)
-    sumcheck oracles (h, p). ``mask_len > 0`` marks the ZK variant (and the
+    ``pre_root`` commits the pre-challenge oracles in ONE interleaved tree
+    (A~, B~, C~, Q~, z^[, mu]); ``sum_root`` the post-(r, eta, tau)
+    sumcheck pair (h, p). ``mask_len > 0`` marks the ZK variant (and the
     presence of the mu oracle).
     """
 
     commitment_q: lwe.Commitment
-    input_roots: Tuple[bytes, ...]
-    sum_roots: Tuple[bytes, bytes]
+    pre_root: bytes
+    sum_root: bytes
     challenge_alpha: Challenge
     challenge_beta: Challenge
     evals_ab: Tuple[int, ...]  # (A~,B~,C~,Q~)@alpha then @beta — 8 values
@@ -302,9 +302,14 @@ class WitnessProofR1CS:
     def zk(self) -> bool:
         return self.mask_len > 0
 
-    def all_roots(self) -> Tuple[bytes, ...]:
-        """FRI input-oracle roots in opening order."""
-        return tuple(self.input_roots) + tuple(self.sum_roots)
+    @property
+    def n_pre(self) -> int:
+        """Oracle count of the pre-challenge group (A~,B~,C~,Q~,z^[,mu])."""
+        return 6 if self.zk else 5
+
+    def input_groups(self):
+        """``fri_verify`` group spec: (root, size) per interleaved tree."""
+        return [(self.pre_root, self.n_pre), (self.sum_root, 2)]
 
     def to_bytes(self) -> bytes:
         out = _MAGIC + bytes([KIND_R1CS_WITNESS, WIRE_VERSION])
@@ -321,11 +326,7 @@ class WitnessProofR1CS:
         words = self.commitment_q.as_words()
         out += struct.pack("<Q", len(words))
         out += b"".join(struct.pack("<Q", int(w)) for w in words)
-        out += bytes([len(self.input_roots)])
-        for root in self.input_roots:
-            out += root
-        for root in self.sum_roots:
-            out += root
+        out += self.pre_root + self.sum_root
         out += self.challenge_alpha.to_bytes() + self.challenge_beta.to_bytes()
         out += struct.pack("<8Q", *self.evals_ab)
         out += bytes([len(self.evals_gamma)])
@@ -354,18 +355,11 @@ class WitnessProofR1CS:
             raise SerializationError("truncated commitment words")
         words = list(struct.unpack_from(f"<{n_words}Q", data, off)) if n_words else []
         off += 8 * n_words
-        if off + 1 > len(data):
-            raise SerializationError("truncated root count")
-        n_in = data[off]
-        off += 1
-        if n_in not in (5, 6):
-            raise SerializationError(f"bad witness-proof oracle count {n_in}")
-        roots = []
-        for _ in range(n_in + 2):
-            if off + 32 > len(data):
-                raise SerializationError("truncated roots")
-            roots.append(data[off : off + 32])
-            off += 32
+        if off + 64 > len(data):
+            raise SerializationError("truncated roots")
+        pre_root = data[off : off + 32]
+        sum_root = data[off + 32 : off + 64]
+        off += 64
         if off + 80 > len(data):
             raise SerializationError("truncated challenges")
         ch_a = Challenge.from_bytes(data[off : off + 40])
@@ -388,8 +382,8 @@ class WitnessProofR1CS:
         fri_proof, off = FriProof.read(data, off)
         return WitnessProofR1CS(
             commitment_q=lwe.Commitment(np.array(words, dtype=np.uint64)),
-            input_roots=tuple(roots[:n_in]),
-            sum_roots=(roots[n_in], roots[n_in + 1]),
+            pre_root=pre_root,
+            sum_root=sum_root,
             challenge_alpha=ch_a,
             challenge_beta=ch_b,
             evals_ab=tuple(evals_ab),
@@ -634,14 +628,14 @@ def _prove_from_parts(
         pre_cw = lde_batch_device(pre_polys, n0, offset, q)
     else:
         pre_cw = [lde(p, n0, offset, omega_n, q) for p in pre_polys]
-    pre_trees = commit_codewords(pre_cw)
-    pre_roots = [t.root for t in pre_trees]
+    pre_tree = commit_codeword_group(pre_cw)
+    pre_root = pre_tree.root
 
     commitment_q, _op = lwe.commit(ctx, q_coeffs, seed)
     comm_words = np.concatenate(
         [
             np.asarray(commitment_q.words, dtype=np.uint64),
-            np.array(_roots_to_words(pre_roots), dtype=np.uint64),
+            np.array(_roots_to_words([pre_root]), dtype=np.uint64),
         ]
     )
     public_inputs = (
@@ -663,7 +657,7 @@ def _prove_from_parts(
         ]
 
     tr = _seed_witness_transcript(
-        q, m, r1cs.n, big_m, mask_len, params, d_bound, pre_roots,
+        q, m, r1cs.n, big_m, mask_len, params, d_bound, [pre_root],
         alpha, beta, evals_ab,
     )
     r = tr.challenge_field(q, b"lincheck-r")
@@ -734,9 +728,8 @@ def _prove_from_parts(
         p_poly = g_rem[1:] or [0]
 
     sum_cw = [lde(h_poly, n0, offset, omega_n, q), lde(p_poly, n0, offset, omega_n, q)]
-    sum_trees = commit_codewords(sum_cw)
-    tr.absorb(b"sum-root", sum_trees[0].root)
-    tr.absorb(b"sum-root", sum_trees[1].root)
+    sum_tree = commit_codeword_group(sum_cw)
+    tr.absorb(b"sum-root", sum_tree.root)
     gamma = tr.challenge_field(q, b"sumcheck-gamma")
     if pow(gamma, big_m, q) == 1:  # pragma: no cover - 2^-45..2^-64 event
         raise DomainError("sumcheck challenge fell on the domain")
@@ -755,9 +748,7 @@ def _prove_from_parts(
         [v % q for v in public_inputs],
     )
     sh_p = d_bound - (big_m - 1)
-    codewords = pre_cw + sum_cw
-    # oracle order for FRI: pre oracles then h, p — matches _deep_terms
-    trees = pre_trees + sum_trees
+    codewords = pre_cw + sum_cw  # flattened oracle order: pre then h, p
 
     # combined DEEP quotient + the shifted degree-bound column on p
     p_cw_idx = len(codewords) - 1
@@ -806,12 +797,13 @@ def _prove_from_parts(
             g[i] = (g[i] + lam_pow * pow(xs[i], sh_p, q) % q * int(p_cw[i])) % q
 
     fri_proof = fri_prove(
-        g, list(zip(codewords, trees)), offset, omega_n, q, params, tr
+        g, [(pre_cw, pre_tree), (sum_cw, sum_tree)], offset, omega_n, q,
+        params, tr,
     )
     return WitnessProofR1CS(
         commitment_q=commitment_q,
-        input_roots=tuple(pre_roots),
-        sum_roots=(sum_trees[0].root, sum_trees[1].root),
+        pre_root=pre_root,
+        sum_root=sum_tree.root,
         challenge_alpha=ch_alpha,
         challenge_beta=ch_beta,
         evals_ab=tuple(int(v) for v in evals_ab),
@@ -865,15 +857,13 @@ def verify_r1cs_witness(
     if not params.at_least(floor):
         return False
     zk = proof.zk
-    if len(proof.input_roots) != (6 if zk else 5):
-        return False
     if len(proof.evals_gamma) != (7 if zk else 6):
         return False
 
     comm_words = np.concatenate(
         [
             np.asarray(proof.commitment_q.words, dtype=np.uint64),
-            np.array(_roots_to_words(proof.input_roots), dtype=np.uint64),
+            np.array(_roots_to_words([proof.pre_root]), dtype=np.uint64),
         ]
     )
     ch_alpha = Challenge.derive(public_inputs, comm_words, q)
@@ -903,7 +893,7 @@ def verify_r1cs_witness(
 
     tr = _seed_witness_transcript(
         q, r1cs.m, r1cs.n, big_m, proof.mask_len, params, d_bound,
-        proof.input_roots, alpha, beta, evals_ab,
+        [proof.pre_root], alpha, beta, evals_ab,
     )
     r = tr.challenge_field(q, b"lincheck-r")
     etas = (
@@ -912,8 +902,7 @@ def verify_r1cs_witness(
         tr.challenge_field(q, b"lincheck-eta"),
     )
     tau = tr.challenge_field(q, b"sumcheck-tau")
-    tr.absorb(b"sum-root", proof.sum_roots[0])
-    tr.absorb(b"sum-root", proof.sum_roots[1])
+    tr.absorb(b"sum-root", proof.sum_root)
     gamma = tr.challenge_field(q, b"sumcheck-gamma")
     if pow(gamma, big_m, q) == 1:
         return False
@@ -960,7 +949,7 @@ def verify_r1cs_witness(
         [v % q for v in public_inputs],
     )
     sh_p = d_bound - (big_m - 1)
-    n_oracles = len(proof.all_roots())
+    n_oracles = proof.n_pre + 2
     p_idx = n_oracles - 1
 
     # per-term weights and grouped inversion points
@@ -989,6 +978,6 @@ def verify_r1cs_witness(
         return out[0], out[1]
 
     return fri_verify(
-        proof.fri, proof.all_roots(), g_eval, n0, offset, omega_n, q, params,
-        tr,
+        proof.fri, proof.input_groups(), g_eval, n0, offset, omega_n, q,
+        params, tr,
     )

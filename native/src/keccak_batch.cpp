@@ -232,7 +232,10 @@ int ls_merkle_verify_batch(const uint8_t* leaves, size_t leaf_len,
                            const uint8_t* roots, size_t lanes, uint8_t* ok) {
   if (leaf_len + 1 >= ls::kRate) return -1;
   if (lanes == 0) return 0;
-  if (lanes >= 256 && std::thread::hardware_concurrency() >= 2) {
+  // 64+: the wire-v3 verifier's lane counts (30 input groups, ~180 layer
+  // lanes at m=2^13) sit well under the old 256 threshold, leaving the
+  // second core idle exactly where the <2 ms verify budget is tightest
+  if (lanes >= 64 && std::thread::hardware_concurrency() >= 2) {
     size_t mid = ((lanes / 2) / ls::kLanes) * ls::kLanes;  // block-aligned
     std::thread t1(ls::merkle_verify_range, leaves, leaf_len, indices,
                    siblings, depths, max_depth, roots, 0, mid, ok);

@@ -57,6 +57,11 @@ WRAPPERS = {
         "namespace LambdaSNARK.Tests",
         "noncomputable section",
     ],
+    # security-parameter arithmetic certificate (docs/security_analysis.md §5)
+    "SecurityParamsData.lean": [
+        "import LambdaSNARK.Core",
+        "namespace LambdaSNARK.Tests",
+    ],
 }
 
 # HealthcareWitnessData references the circuit's R1CS declarations

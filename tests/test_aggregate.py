@@ -103,9 +103,7 @@ def test_aggregate_tamper_rejected(instance):
     )
     assert not verify_r1cs_succinct_aggregate(bad, publics, r1cs, min_params=FAST)
     # tamper one statement's Merkle root
-    bad_st2 = dataclasses.replace(
-        st, input_roots=(st.input_roots[0],) * 4
-    )
+    bad_st2 = dataclasses.replace(st, input_root=bytes(32))
     bad2 = dataclasses.replace(
         proof,
         statements=proof.statements[:2] + (bad_st2,) + proof.statements[3:],

@@ -188,3 +188,30 @@ def test_forking_equations_certificate(ours):
     # healthcare_square: nVars = nCons, which our built circuit satisfies
     assert data["asserts_square_domain"]
     assert r1cs.m == r1cs.n
+
+
+def test_security_params_certificate_regenerates_and_holds():
+    """The committed SecurityParamsData.lean matches the library constants
+    (no drift), and every certified inequality holds in exact arithmetic."""
+    from lambda_snark_tpu.lean.certificates import security_params_lean
+    from lambda_snark_tpu.proof.fri import MAX_AGGREGATE_STATEMENTS, FriParams
+    from lambda_snark_tpu.proof.succinct import _MASK_LEN_CAP, _degree_bound
+    from lambda_snark_tpu.core.params import (
+        HEALTHCARE_DUMP_MODULUS,
+        NTT_FRIENDLY_MODULUS,
+        NTT_MODULUS,
+    )
+
+    src = security_params_lean()
+    with open("artifacts/lean/SecurityParamsData.lean") as f:
+        assert f.read() == src, "run security_params_lean() and recommit"
+
+    p = FriParams()
+    mask_len = 2 * p.num_queries + 8
+    assert 80 <= p.log_blowup * p.num_queries
+    assert mask_len <= _MASK_LEN_CAP
+    d_max = _degree_bound(1 << 13, mask_len)
+    assert 8 * MAX_AGGREGATE_STATEMENTS * d_max * (1 << 30) <= NTT_MODULUS
+    assert (NTT_MODULUS - 1) % (1 << 32) == 0
+    assert (NTT_FRIENDLY_MODULUS - 1) % (1 << 13) == 0
+    assert (HEALTHCARE_DUMP_MODULUS - 1) % (1 << 27) == 0

@@ -115,10 +115,8 @@ def _host_proofs(q, offset, omega, cw, g, seeds):
     for i in range(cw.shape[0]):
         tr = FriTranscript()
         tr.absorb(b"case", seeds[i])
-        inputs = [
-            (list(map(int, cw[i, j])), fri.commit_codeword(list(map(int, cw[i, j]))))
-            for j in range(cw.shape[1])
-        ]
+        group = [list(map(int, cw[i, j])) for j in range(cw.shape[1])]
+        inputs = [(group, fri.commit_codeword_group(group))]
         proofs.append(
             fri.fri_prove(list(map(int, g[i])), inputs, offset, omega, q,
                           FAST, tr)
@@ -129,9 +127,7 @@ def _host_proofs(q, offset, omega, cw, g, seeds):
 def _device_proofs(q, offset, omega, cw, g, seeds):
     s, k, n0 = cw.shape
     input_planes = fri_device.planes_from_u64(cw)  # (4, S, K, n0)
-    forest = fri_device.commit_planes_dev(
-        np.asarray(input_planes).reshape(4, s * k, n0)
-    )
+    forest = fri_device.commit_planes_dev_groups(input_planes)
     g_planes = fri_device.planes_from_u64(g)
     trs = []
     for i in range(s):

@@ -51,12 +51,14 @@ def test_truncation_regression():
 
 
 def test_fri_query_roundtrip_over_255_openings():
-    """Aggregated (kind-8) queries open 4*S input oracles; S >= 64 exceeded
-    the old u8 count field (found by the aggregate scaling sweep)."""
-    from lambda_snark_tpu.proof.fri import FriQuery, LayerOpening
+    """Aggregated (kind-8) queries open one group per statement; S >= 256
+    exceeds a u8 count field (the LE16 wire regression from the aggregate
+    scaling sweep, carried over to wire v3's group openings)."""
+    from lambda_snark_tpu.proof.fri import FriQuery, GroupOpening, LayerOpening
 
-    op = LayerOpening(1, 2, (b"\x11" * 32,))
-    q = FriQuery(tuple([op] * 300), tuple([op] * 3))
+    gop = GroupOpening((1, 2, 3, 4, 5, 6, 7, 8), (b"\x11" * 32,))
+    lop = LayerOpening(1, 2, (b"\x11" * 32,))
+    q = FriQuery(tuple([gop] * 300), tuple([lop] * 3))
     data = q.to_bytes()
     got, off = FriQuery.read(data, 0)
     assert off == len(data)

@@ -213,9 +213,7 @@ def test_consistent_lie_caught_by_fri(proof45):
 
 def test_tampered_root_rejected(proof45):
     r1cs, w, proof = proof45
-    roots = list(proof.input_roots)
-    roots[0] = bytes(32)
-    bad = dataclasses.replace(proof, input_roots=tuple(roots))
+    bad = dataclasses.replace(proof, input_root=bytes(32))
     assert not verify_r1cs_succinct(bad, r1cs.public_inputs(w), r1cs,
                                     min_params=FAST)
 
@@ -251,11 +249,11 @@ def test_tampered_path_rejected(proof45):
 def test_tampered_leaf_value_rejected(proof45):
     r1cs, w, proof = proof45
     q0 = proof.fri.queries[0]
-    op0 = q0.input_openings[3]  # the Q~ oracle
-    bad_op = dataclasses.replace(op0, v_lo=(op0.v_lo + 1) % r1cs.modulus)
-    bad_q0 = dataclasses.replace(
-        q0, input_openings=q0.input_openings[:3] + (bad_op,)
-    )
+    op0 = q0.input_openings[0]
+    vals = list(op0.values)
+    vals[6] = (vals[6] + 1) % r1cs.modulus  # the Q~ oracle's lo value
+    bad_op = dataclasses.replace(op0, values=tuple(vals))
+    bad_q0 = dataclasses.replace(q0, input_openings=(bad_op,))
     bad_fri = dataclasses.replace(
         proof.fri, queries=(bad_q0,) + proof.fri.queries[1:]
     )
@@ -407,7 +405,7 @@ def test_zk_succinct_verifies_and_masks(ctx45):
     assert verify_r1cs_succinct(zk, r1cs.public_inputs(w), r1cs, min_params=FAST)
     assert zk.mask_len == 2 * FAST.num_queries + 8
     # masked roots and evaluations must differ from the unmasked run
-    assert zk.input_roots != plain.input_roots
+    assert zk.input_root != plain.input_root
     # deterministic given seeds
     zk2 = prove_r1cs_succinct(
         r1cs, w, ctx45, seed=9, zk=True, blinding_seed=11, fri_params=FAST
@@ -417,7 +415,7 @@ def test_zk_succinct_verifies_and_masks(ctx45):
     zk3 = prove_r1cs_succinct(
         r1cs, w, ctx45, seed=9, zk=True, blinding_seed=12, fri_params=FAST
     )
-    assert zk3.input_roots != zk.input_roots
+    assert zk3.input_root != zk.input_root
     assert verify_r1cs_succinct(zk3, r1cs.public_inputs(w), r1cs, min_params=FAST)
 
 
@@ -431,14 +429,16 @@ def test_zk_leaf_values_differ_from_plain_codewords(ctx45):
         r1cs, w, ctx45, seed=9, zk=True, blinding_seed=11, fri_params=FAST
     )
     plain_vals = {
-        (op.v_lo, op.v_hi)
+        v
         for qy in plain.fri.queries
         for op in qy.input_openings
+        for v in op.values
     }
     zk_vals = {
-        (op.v_lo, op.v_hi)
+        v
         for qy in zk.fri.queries
         for op in qy.input_openings
+        for v in op.values
     }
     assert not plain_vals & zk_vals
 

@@ -110,7 +110,7 @@ def test_roundtrip_goldilocks_zk(ctx_gl):
         r1cs, w, ctx_gl, seed=3, zk=True, fri_params=FAST, blinding_seed=99
     )
     assert proof.mask_len == 2 * FAST.num_queries + 8
-    assert len(proof.input_roots) == 6  # includes the mu oracle
+    assert proof.n_pre == 6  # pre-challenge group includes the mu oracle
     assert verify_r1cs_witness(proof, [1], r1cs, min_params=FAST)
 
 
@@ -280,15 +280,11 @@ def test_rejects_tampered_fields(proof_gl):
         evals[i] = (evals[i] + 1) % GL
         bad = dataclasses.replace(proof, evals_ab=tuple(evals))
         assert not verify_r1cs_witness(bad, [1], r1cs, min_params=FAST)
-    # swapped sumcheck roots
-    bad = dataclasses.replace(
-        proof, sum_roots=(proof.sum_roots[1], proof.sum_roots[0])
-    )
+    # tampered sumcheck root
+    bad = dataclasses.replace(proof, sum_root=bytes(32))
     assert not verify_r1cs_witness(bad, [1], r1cs, min_params=FAST)
-    # any input root
-    roots = list(proof.input_roots)
-    roots[4] = bytes(32)
-    bad = dataclasses.replace(proof, input_roots=tuple(roots))
+    # tampered pre-challenge group root
+    bad = dataclasses.replace(proof, pre_root=bytes(32))
     assert not verify_r1cs_witness(bad, [1], r1cs, min_params=FAST)
 
 
