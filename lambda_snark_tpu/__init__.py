@@ -53,6 +53,7 @@ from .proof.succinct import (
 from .proof.succinct_batch import (
     prove_r1cs_succinct_batch,
     prove_r1cs_succinct_stream,
+    prove_r1cs_witness_batch,
 )
 from .proof.aggregate import (
     AggregatedProofR1CS,
@@ -137,6 +138,7 @@ __all__ = [
     "verify_r1cs_succinct_aggregate",
     "WitnessProofR1CS",
     "prove_r1cs_witness",
+    "prove_r1cs_witness_batch",
     "verify_r1cs_witness",
     "prove_r1cs_zk",
     "prove_simple",

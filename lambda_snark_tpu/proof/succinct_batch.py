@@ -69,7 +69,11 @@ from .succinct import (
     prove_r1cs_succinct,
 )
 
-__all__ = ["prove_r1cs_succinct_batch", "prove_r1cs_succinct_stream"]
+__all__ = [
+    "prove_r1cs_succinct_batch",
+    "prove_r1cs_succinct_stream",
+    "prove_r1cs_witness_batch",
+]
 
 
 # --- batched host field helpers -------------------------------------------------
@@ -431,6 +435,46 @@ def prove_r1cs_succinct_batch(
             modulus=q,
         )
         for i in range(s)
+    ]
+
+
+def prove_r1cs_witness_batch(
+    r1cs: R1CS,
+    witnesses: Sequence[Sequence[int]],
+    ctx: lwe.LweContext,
+    seeds: Sequence[int],
+    zk: bool = False,
+    fri_params: Optional[FriParams] = None,
+    blinding_seeds: Optional[Sequence[int]] = None,
+    device_lde: bool = True,
+) -> list:
+    """Batch of kind-9 committed-witness proofs (one per statement).
+
+    Routing parity with ``prove_r1cs_succinct_batch``: same seed
+    conventions, same store/stream integration (pass
+    ``witness_bind=True`` to ``prove_r1cs_succinct_stream``). The per-
+    statement pipeline is the vectorized-Goldilocks single prover; cross-
+    statement amortization of the LDE/Merkle dispatches mirrors the kind-7
+    batcher and is tracked in ROADMAP #22.
+    """
+    from .succinct_witness import prove_r1cs_witness
+
+    params = fri_params or FriParams()
+    params.validate()
+    s = len(witnesses)
+    if len(seeds) != s:
+        raise InvalidDimensionsError("need one seed per witness")
+    if zk and (blinding_seeds is None or len(blinding_seeds) != s):
+        raise InvalidDimensionsError(
+            "zk witness batch proving needs one blinding seed per witness"
+        )
+    return [
+        prove_r1cs_witness(
+            r1cs, w, ctx, seed, zk=zk, fri_params=params,
+            blinding_seed=(blinding_seeds[i] if zk else None),
+            device_lde=device_lde,
+        )
+        for i, (w, seed) in enumerate(zip(witnesses, seeds))
     ]
 
 
@@ -857,6 +901,7 @@ def prove_r1cs_succinct_stream(
     device_lde: bool = True,
     label_prefix: str = "succinct",
     pipeline_chunk: Optional[int] = None,
+    witness_bind: bool = False,
 ):
     """Yield ``(index, SuccinctProofR1CS)`` for a witness stream, in order.
 
@@ -867,6 +912,10 @@ def prove_r1cs_succinct_stream(
     partition of the stream reproduces identical bytes), and a ``ProofStore``
     makes runs resumable — statements already in the store are served
     byte-identical, only the remainder is proven.
+
+    ``witness_bind=True`` routes the stream through the kind-9
+    committed-witness prover instead (same seed folds, same resume
+    semantics; the store's integrity sweep covers kind 9).
     """
     params = fri_params or FriParams()
     params.validate()
@@ -878,7 +927,8 @@ def prove_r1cs_succinct_stream(
     pending: list = []  # (index, witness)
 
     def label(index: int) -> str:
-        return f"{label_prefix}-{index}"
+        prefix = f"{label_prefix}-w" if witness_bind else label_prefix
+        return f"{prefix}-{index}"
 
     def flush():
         if not pending:
@@ -887,11 +937,17 @@ def prove_r1cs_succinct_stream(
         ws = [w for _i, w in pending]
         seeds = [_index_seed(seed, i) for i in idxs]
         blinds = [_index_seed(blind_master, i) for i in idxs] if zk else None
-        proofs = prove_r1cs_succinct_batch(
-            r1cs, ws, ctx, seeds, zk=zk, fri_params=params,
-            blinding_seeds=blinds, device_lde=device_lde,
-            pipeline_chunk=pipeline_chunk,
-        )
+        if witness_bind:
+            proofs = prove_r1cs_witness_batch(
+                r1cs, ws, ctx, seeds, zk=zk, fri_params=params,
+                blinding_seeds=blinds, device_lde=device_lde,
+            )
+        else:
+            proofs = prove_r1cs_succinct_batch(
+                r1cs, ws, ctx, seeds, zk=zk, fri_params=params,
+                blinding_seeds=blinds, device_lde=device_lde,
+                pipeline_chunk=pipeline_chunk,
+            )
         for (index, w), proof, s in zip(pending, proofs, seeds):
             if store is not None:
                 store.save(

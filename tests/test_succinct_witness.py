@@ -336,3 +336,48 @@ def test_requires_roots_domain(ctx45):
     )
     with pytest.raises(DomainError):
         prove_r1cs_witness(seq, mult_witness(4, Q45), ctx45, seed=1)
+
+
+def test_witness_batch_and_stream_routing(ctx_gl, tmp_path):
+    """Kind-9 routes through the batch/stream provers with ProofStore
+    resume (VERDICT r4 item 2: 'the mesh/batch provers route it')."""
+    from lambda_snark_tpu.proof.succinct_batch import (
+        prove_r1cs_succinct_stream,
+        prove_r1cs_witness_batch,
+    )
+    from lambda_snark_tpu.utils.artifacts import ProofStore
+
+    r1cs = mult_circuit(8, GL)
+    ws = [mult_witness(8, GL, seed=s) for s in range(3)]
+    batch = prove_r1cs_witness_batch(
+        r1cs, ws, ctx_gl, seeds=[10, 11, 12], fri_params=FAST
+    )
+    assert len(batch) == 3
+    for p in batch:
+        assert isinstance(p, WitnessProofR1CS)
+        assert verify_r1cs_witness(p, [1], r1cs, min_params=FAST)
+    # byte parity with the single prover
+    single = prove_r1cs_witness(r1cs, ws[1], ctx_gl, seed=11, fri_params=FAST)
+    assert batch[1].to_bytes() == single.to_bytes()
+
+    store = ProofStore(str(tmp_path / "store"))
+    first = list(
+        prove_r1cs_succinct_stream(
+            r1cs, ws, ctx_gl, seed=77, batch=2, fri_params=FAST,
+            store=store, witness_bind=True,
+        )
+    )
+    assert [i for i, _p in first] == [0, 1, 2]
+    assert all(isinstance(p, WitnessProofR1CS) for _i, p in first)
+    # resume: stored statements come back byte-identical
+    resumed = list(
+        prove_r1cs_succinct_stream(
+            r1cs, ws, ctx_gl, seed=77, batch=2, fri_params=FAST,
+            store=store, witness_bind=True,
+        )
+    )
+    assert [(i, p.to_bytes()) for i, p in first] == [
+        (i, p.to_bytes()) for i, p in resumed
+    ]
+    # the store integrity sweep covers kind 9
+    assert all(store.verify_all(r1cs).values())
