@@ -439,6 +439,14 @@ def _extract_balanced_packed(x2) -> List:
     balanced byte expansion of Y with its final carry-out dropped equals
     Y - 2^64 = X - p exactly (the carry-out is guaranteed 1 there, and
     guaranteed 0 when X <= _MAXB). No carry matmul plane is needed.
+
+    The balanced bytes themselves come from the BIAS trick, not a serial
+    carry scan: the unique digits d_t in [-128, 127] with
+    Y = sum d_t 256^t (mod 2^64) are byte_t(Y + 0x8080..80 mod 2^64) - 128,
+    and the -128 is a free int8 reinterpretation of byte XOR 0x80. One
+    64-bit constant add replaces the 8-step dependent carry chain the
+    round-4 roofline flagged (digit-set-of-256 uniqueness makes this
+    provably identical to the scan; pinned bit-exact in test_ntt_mxu).
     """
     lo, hi = x2[0], x2[1]
     maxb_hi = jnp.uint32(_MAXB >> 32)
@@ -447,16 +455,17 @@ def _extract_balanced_packed(x2) -> List:
     condu = cond.astype(jnp.uint32)
     lo_f = lo + condu * jnp.uint32(0xFFFFFFFF)  # wraps iff lo >= 1
     hi_f = hi + (condu & (lo_f < lo).astype(jnp.uint32))
+    b8 = jnp.uint32(0x80808080)
+    lo_b = lo_f + b8  # wrapping: dropped carries ARE the bias semantics
+    hi_b = hi_f + b8 + (lo_b < lo_f).astype(jnp.uint32)
+    x80 = jnp.uint32(0x80)
     subs = []
-    carry = jnp.zeros_like(lo)
     for t in range(_TB):
-        word = lo_f if t < 4 else hi_f
-        u = (word >> (8 * (t & 3))) & 0xFF
-        s = u + carry  # <= 256
-        carry = (s >= 128).astype(jnp.uint32)
-        d = s.astype(jnp.int32) - (carry << 8).astype(jnp.int32)
-        subs.append(d.astype(jnp.int8))
-    return subs  # final carry dropped (== -2^64 when set)
+        word = lo_b if t < 4 else hi_b
+        sh = 8 * (t & 3)
+        byte = (word >> sh) & 0xFF if sh < 24 else word >> 24
+        subs.append((byte ^ x80).astype(jnp.int8))
+    return subs
 
 
 def _leaf_math_packed(x2, w, tw2, balanced):
