@@ -423,8 +423,10 @@ def verify_r1cs_succinct_aggregate(
     #    from the single-statement verifier)
     alphas: List[int] = []
     betas: List[int] = []
+    from .succinct import commitment_digest_words
+
     for st, public in zip(proof.statements, public_inputs_list):
-        comm_words = list(st.commitment_q.as_words()) + _roots_to_words(
+        comm_words = list(commitment_digest_words(st.commitment_q)) + _roots_to_words(
             [st.input_root]
         )
         ch_alpha = Challenge.derive(public, comm_words, q)
@@ -486,7 +488,32 @@ def verify_r1cs_succinct_aggregate(
             out.append(acc)
         return out[0], out[1]
 
+    # the aggregate's combined quotient IS the standard batched-DEEP shape
+    # with per-statement points: 4S columns, lambda-ladder weights, each
+    # statement's (alpha, beta) repeated over its 4 oracles — so the native
+    # batched verifier (path auth + g eval + fold walk) applies directly
+    n_cols = 4 * s
+    wa = np.empty(n_cols, dtype=np.uint64)
+    wb = np.empty(n_cols, dtype=np.uint64)
+    ea = np.empty(n_cols, dtype=np.uint64)
+    eb = np.empty(n_cols, dtype=np.uint64)
+    al = np.empty(n_cols, dtype=np.uint64)
+    be = np.empty(n_cols, dtype=np.uint64)
+    lam_pow = 1
+    for i in range(s):
+        for k in range(4):
+            col = 4 * i + k
+            lam2 = lam_pow * lam % q
+            wa[col] = lam_pow
+            wb[col] = lam2
+            ea[col] = all_evals[i][k] % q
+            eb[col] = all_evals[i][4 + k] % q
+            al[col] = alphas[i]
+            be[col] = betas[i]
+            lam_pow = lam2 * lam % q
+
     input_groups = [(st.input_root, 4) for st in proof.statements]
     return fri_verify(
-        proof.fri, input_groups, g_eval, n0, offset, omega_n, q, params, tr
+        proof.fri, input_groups, g_eval, n0, offset, omega_n, q, params, tr,
+        deep=(wa, wb, ea, eb, al, be),
     )

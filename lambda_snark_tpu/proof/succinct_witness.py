@@ -93,6 +93,7 @@ from .fri import (
 from .succinct import (
     _MAGIC,
     WIRE_VERSION,
+    commitment_digest_words,
     _check_wire_version,
     _gl_add_padded,
     _gl_conv,
@@ -634,7 +635,7 @@ def _prove_from_parts(
     commitment_q, _op = lwe.commit(ctx, q_coeffs, seed)
     comm_words = np.concatenate(
         [
-            np.asarray(commitment_q.words, dtype=np.uint64),
+            commitment_digest_words(commitment_q),
             np.array(_roots_to_words([pre_root]), dtype=np.uint64),
         ]
     )
@@ -862,7 +863,7 @@ def verify_r1cs_witness(
 
     comm_words = np.concatenate(
         [
-            np.asarray(proof.commitment_q.words, dtype=np.uint64),
+            commitment_digest_words(proof.commitment_q),
             np.array(_roots_to_words([proof.pre_root]), dtype=np.uint64),
         ]
     )
