@@ -141,9 +141,37 @@ def _gl_pow_array(a: np.ndarray, exp: int) -> np.ndarray:
 
 
 def _gl_inverse_array(a: np.ndarray) -> np.ndarray:
+    """Elementwise inverse mod Goldilocks via vectorized Montgomery batch
+    inversion: inclusive prefix/suffix product scans (log-doubling, ~2·log n
+    array passes) plus ONE scalar Fermat inverse of the total product —
+    ~2.5x fewer uint64 passes than the per-element Fermat ladder, which
+    dominated the kind-9 prover's host DEEP build."""
     if bool((a == 0).any()):
         raise DomainError("batch_inverse: zero element (challenge hit the domain)")
-    return _gl_pow_array(a, glnp.GOLDILOCKS - 2)
+    flat = np.ascontiguousarray(a, dtype=np.uint64).reshape(-1)
+    n = flat.size
+    if n == 0:
+        return a.copy()
+    if n < 1024:  # scan overhead beats the ladder only at size
+        return _gl_pow_array(a, glnp.GOLDILOCKS - 2)
+    scan = flat.copy()  # scan[i] = prod(flat[0..i])
+    shift = 1
+    while shift < n:
+        scan[shift:] = glnp.gl_mul(scan[shift:], scan[:-shift])
+        shift <<= 1
+    suf = flat.copy()  # suf[i] = prod(flat[i..])
+    shift = 1
+    while shift < n:
+        suf[:-shift] = glnp.gl_mul(suf[:-shift], suf[shift:])
+        shift <<= 1
+    total_inv = np.uint64(glnp.gl_inv(int(scan[-1])))
+    out = np.empty_like(flat)
+    # out[i] = scan[i-1] * suf[i+1] * total_inv (prod of everything but i)
+    out[0] = suf[1] if n > 1 else 1
+    out[1:-1] = glnp.gl_mul(scan[:-2], suf[2:])
+    out[-1] = scan[-2]
+    out = glnp.gl_mul(out, total_inv)
+    return out.reshape(a.shape)
 
 
 # --- helpers -----------------------------------------------------------------

@@ -553,8 +553,15 @@ def prove_r1cs_succinct(
         g = None
     elif q == glnp.GOLDILOCKS:
         xs_np = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))
-        inv_a = _gl_inverse_array(glnp.gl_sub(xs_np, np.uint64(alpha)))
-        inv_b = _gl_inverse_array(glnp.gl_sub(xs_np, np.uint64(beta)))
+        inv_ab = _gl_inverse_array(
+            np.stack(
+                [
+                    glnp.gl_sub(xs_np, np.uint64(alpha)),
+                    glnp.gl_sub(xs_np, np.uint64(beta)),
+                ]
+            )
+        )
+        inv_a, inv_b = inv_ab[0], inv_ab[1]
         g = np.zeros(n0, dtype=np.uint64)
         lam_pow = 1
         for k, cw in enumerate(codewords):

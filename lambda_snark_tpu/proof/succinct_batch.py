@@ -110,9 +110,9 @@ def _gl_eval_batch(polys: np.ndarray, points: np.ndarray) -> np.ndarray:
 
 
 def _gl_inverse_batch(a: np.ndarray) -> np.ndarray:
-    if bool((a == 0).any()):
-        raise DomainError("batch_inverse: zero element (challenge hit the domain)")
-    return _gl_pow_array(a, glnp.GOLDILOCKS - 2)
+    from .fri import _gl_inverse_array
+
+    return _gl_inverse_array(a)
 
 
 def _csr_padded(mat: SparseMatrix, q: int):
