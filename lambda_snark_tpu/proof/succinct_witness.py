@@ -728,7 +728,15 @@ def _prove_from_parts(
             raise DomainError("sumcheck remainder nonzero (witness bug)")
         p_poly = g_rem[1:] or [0]
 
-    sum_cw = [lde(h_poly, n0, offset, omega_n, q), lde(p_poly, n0, offset, omega_n, q)]
+    if device_lde and q == glnp.GOLDILOCKS:
+        from .fri import lde_batch_device
+
+        sum_cw = lde_batch_device([h_poly, p_poly], n0, offset, q)
+    else:
+        sum_cw = [
+            lde(h_poly, n0, offset, omega_n, q),
+            lde(p_poly, n0, offset, omega_n, q),
+        ]
     sum_tree = commit_codeword_group(sum_cw)
     tr.absorb(b"sum-root", sum_tree.root)
     gamma = tr.challenge_field(q, b"sumcheck-gamma")

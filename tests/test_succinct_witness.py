@@ -381,3 +381,17 @@ def test_witness_batch_and_stream_routing(ctx_gl, tmp_path):
     ]
     # the store integrity sweep covers kind 9
     assert all(store.verify_all(r1cs).values())
+
+
+def test_device_lde_same_bytes(ctx_gl):
+    """device_lde routes the pre-group AND sumcheck-pair RS encodings
+    through the batched device NTT; proof bytes must be identical."""
+    r1cs = mult_circuit(8, GL)
+    w = mult_witness(8, GL)
+    host = prove_r1cs_witness(
+        r1cs, w, ctx_gl, seed=4, fri_params=FAST, device_lde=False
+    )
+    dev = prove_r1cs_witness(
+        r1cs, w, ctx_gl, seed=4, fri_params=FAST, device_lde=True
+    )
+    assert host.to_bytes() == dev.to_bytes()
