@@ -348,6 +348,11 @@ def commit_codeword_group(codewords: Sequence[Sequence[int]]) -> MerkleTree:
     """
     from .merkle import build_forest_u64_groups
 
+    if len(codewords) > MAX_GROUP_ORACLES:
+        raise DomainError(
+            f"group of {len(codewords)} oracles exceeds MAX_GROUP_ORACLES "
+            f"({MAX_GROUP_ORACLES}: the single-Keccak-block leaf limit)"
+        )
     n = len(codewords[0])
     half = n // 2
     if any(len(cw) != n for cw in codewords):
@@ -466,6 +471,14 @@ class FriTranscript:
 #: (ADVICE r4 #2; docs/protocol.md W-4).
 MAX_AGGREGATE_STATEMENTS = 4096
 
+#: Hard cap on oracles per interleaved group: 8 oracles = 32 payload u32
+#: words = 129-byte leaf messages, the single-Keccak-block limit shared by
+#: the device leaf hasher (``keccak_jax.leaf_block_words_flex``) and the
+#: native path verifier (``ls_merkle_verify_batch`` rejects leaves >= one
+#: rate block). Enforced at commit AND deserialization so a wider group
+#: fails loudly at the API boundary, not deep in a kernel.
+MAX_GROUP_ORACLES = 8
+
 
 @dataclasses.dataclass(frozen=True)
 class FriParams:
@@ -518,13 +531,6 @@ class LayerOpening:
         if not isinstance(self.path, (bytes, bytearray)):
             object.__setattr__(self, "path", b"".join(self.path))
 
-    @property
-    def path_nodes(self) -> Tuple[bytes, ...]:
-        """The per-level sibling digests (32-byte chunks of ``path``)."""
-        return tuple(
-            self.path[i : i + 32] for i in range(0, len(self.path), 32)
-        )
-
     def to_bytes(self) -> bytes:
         out = struct.pack("<QQB", self.v_lo, self.v_hi, len(self.path) // 32)
         return out + self.path
@@ -576,7 +582,10 @@ class GroupOpening:
             raise SerializationError("truncated FRI group opening")
         n_vals = data[off]
         off += 1
-        if n_vals == 0 or n_vals & 1 or n_vals > 64:
+        # cap = 2 * MAX_GROUP_ORACLES (the single-Keccak-block leaf limit
+        # the committers enforce); the widest shipped group is kind-9 zk's
+        # 6 oracles
+        if n_vals == 0 or n_vals & 1 or n_vals > 2 * MAX_GROUP_ORACLES:
             raise SerializationError(f"bad group opening width {n_vals}")
         if off + 8 * n_vals + 1 > len(data):
             raise SerializationError("truncated group opening values")
@@ -847,29 +856,6 @@ def _native():
         except Exception:  # pragma: no cover - import/build failure
             _native_mod = False
     return _native_mod or None
-
-
-def _gl_pow_vec(base: int, exps: np.ndarray) -> np.ndarray:
-    """Elementwise base^exps[i] mod Goldilocks (per-element exponents)."""
-    exps = np.asarray(exps, dtype=np.uint64)
-    out = np.ones(exps.shape, dtype=np.uint64)
-    b = base % glnp.GOLDILOCKS
-    e = exps.copy()
-    maxbits = int(exps.max()).bit_length() if exps.size else 0
-    for _ in range(maxbits):
-        sel = (e & np.uint64(1)).astype(bool)
-        if sel.any():
-            out[sel] = glnp.gl_mul(out[sel], np.uint64(b))
-        b = b * b % glnp.GOLDILOCKS
-        e >>= np.uint64(1)
-    return out
-
-
-def batch_inverse_u64(vals: np.ndarray, q: int) -> np.ndarray:
-    """Montgomery batch inversion of a uint64 array (host ints under the
-    hood — sized for the verifier's ~2*num_queries denominators)."""
-    out = batch_inverse([int(v) for v in vals], q)
-    return np.array(out, dtype=np.uint64)
 
 
 def _query_positions(indices, n0: int, n_layers: int) -> np.ndarray:

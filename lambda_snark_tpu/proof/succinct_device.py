@@ -123,7 +123,7 @@ def _quotient_lde_fn(s: int, m: int, n0: int, offset: int,
             ring_plan, a_hat_planes, msg, key_words, _k, cdf_hi, cdf_lo
         )
         # ONE host pull for everything the transcript needs: the packed
-        # c words (2, S, ring_n) and the 4S tree-root words (8, 4S)
+        # c words (2, S, ring_n) and the S group-tree root words (8, S)
         c_words = jnp.stack(
             [c[0] | (c[1] << 16), c[2] | (c[3] << 16)]
         )

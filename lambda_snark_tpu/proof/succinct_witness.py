@@ -161,8 +161,10 @@ def _witness_geometry(
     return M, omega_s, d_bound, n0, root_of_order(q, n0)
 
 
-def _row_weights(r1cs: R1CS, r: int, etas: Tuple[int, int, int]) -> List[int]:
-    """u = eta_A (r^T A) + eta_B (r^T B) + eta_C (r^T C)  (length n)."""
+def _row_weights(r1cs: R1CS, r: int, etas: Tuple[int, int, int]):
+    """(u, r_pows): u = eta_A (r^T A) + eta_B (r^T B) + eta_C (r^T C)
+    (length n) plus the length-m r-power ladder it used (the verifier
+    feeds the same ladder to the R_s Lagrange sum — one O(m) pass)."""
     q = r1cs.modulus
     r_pows = [1] * r1cs.m
     for i in range(1, r1cs.m):
@@ -171,7 +173,7 @@ def _row_weights(r1cs: R1CS, r: int, etas: Tuple[int, int, int]) -> List[int]:
     for mat, eta in zip((r1cs.a, r1cs.b, r1cs.c), etas):
         for i, j, v in mat.coo():
             u[j] = (u[j] + eta * r_pows[i] % q * v) % q
-    return u
+    return u, r_pows
 
 
 def _lagrange_sum(
@@ -670,7 +672,7 @@ def _prove_from_parts(
     tau = tr.challenge_field(q, b"sumcheck-tau")
 
     # F = R_s * (eta.A~ + eta.B~ + eta.C~) - U_s * z^ + tau*mu
-    u = _row_weights(r1cs, r, etas)
+    u, _r_pows = _row_weights(r1cs, r, etas)
     stride = big_m // m
     if gl_fast:
         rho = np.zeros(big_m, dtype=np.uint64)
@@ -919,12 +921,9 @@ def verify_r1cs_witness(
     lam = tr.challenge_field(q, b"fri-lambda")
 
     # lincheck sumcheck identity at gamma
-    u = _row_weights(r1cs, r, etas)
+    u, r_pows = _row_weights(r1cs, r, etas)
     stride = big_m // r1cs.m
     try:
-        r_pows = [1] * r1cs.m
-        for i in range(1, r1cs.m):
-            r_pows[i] = r_pows[i - 1] * r % q
         r_s_g = _lagrange_sum(
             r_pows, [i * stride for i in range(r1cs.m)], gamma, omega_s, big_m, q
         )

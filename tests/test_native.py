@@ -174,3 +174,62 @@ def test_native_lean_export_matches_python():
     rec = nb.params_to_lean(4096, 2, TV_Q, 3.19, 128)
     parsed = SecurityParams.from_lean(rec)
     assert (parsed.n, parsed.k, parsed.q, parsed.lam) == (4096, 2, TV_Q, 128)
+
+
+def test_native_sha3_batch_and_merkle_verify():
+    """Direct parity pins for the batched Keccak verifier primitives
+    (8-lane SoA SIMD, native/src/keccak_batch.cpp) vs hashlib and
+    proof.merkle.verify_path — accept AND reject lanes."""
+    import hashlib
+    import numpy as np
+
+    from lambda_snark_tpu import native_bridge as nb
+    from lambda_snark_tpu.proof.merkle import MerkleTree
+
+    rng = np.random.default_rng(3)
+    # sha3_256_batch vs hashlib, several message lengths
+    for msg_len in (16, 65, 96, 129, 135):
+        msgs = rng.integers(0, 256, (37, msg_len), dtype=np.uint8)
+        got = nb.sha3_256_batch(msgs)
+        for i in range(msgs.shape[0]):
+            assert (
+                bytes(got[i]) == hashlib.sha3_256(msgs[i].tobytes()).digest()
+            ), (msg_len, i)
+
+    # merkle_verify_batch vs MerkleTree paths (leaf width 16 and 64)
+    for width, n_leaves in ((16, 64), (64, 32)):
+        leaves_raw = [
+            rng.integers(0, 256, width, dtype=np.uint8).tobytes()
+            for _ in range(n_leaves)
+        ]
+        tree = MerkleTree(leaves_raw)
+        depth = n_leaves.bit_length() - 1
+        lanes = n_leaves + 3  # all honest lanes + 3 corrupted
+        leaves = np.zeros((lanes, width), dtype=np.uint8)
+        idx = np.zeros(lanes, dtype=np.uint64)
+        sib = np.zeros((lanes, depth, 32), dtype=np.uint8)
+        depths = np.full(lanes, depth, dtype=np.uint32)
+        roots = np.tile(
+            np.frombuffer(tree.root, dtype=np.uint8), (lanes, 1)
+        )
+        for i in range(n_leaves):
+            leaves[i] = np.frombuffer(leaves_raw[i], dtype=np.uint8)
+            idx[i] = i
+            path = tree.path(i)
+            for lvl, sib_digest in enumerate(path):
+                sib[i, lvl] = np.frombuffer(sib_digest, dtype=np.uint8)
+        # corrupt lanes: wrong leaf byte / wrong index / wrong sibling
+        for j, mutate in enumerate(("leaf", "index", "sib")):
+            k = n_leaves + j
+            leaves[k] = leaves[0]
+            idx[k] = idx[0]
+            sib[k] = sib[0]
+            if mutate == "leaf":
+                leaves[k, 0] ^= 0xFF
+            elif mutate == "index":
+                idx[k] = 1
+            else:
+                sib[k, 0, 0] ^= 0xFF
+        ok = nb.merkle_verify_batch(leaves, idx, sib, depths, roots)
+        assert bool(ok[:n_leaves].all()), width
+        assert not ok[n_leaves:].any(), width

@@ -565,3 +565,38 @@ def test_gl_fast_frontend_rejects_bad_witness():
     )
     with pytest.raises(InvalidWitnessError):
         prove_r1cs_succinct(r1cs, w, ctx, seed=5, fri_params=FAST)
+
+
+def test_scalar_vs_native_verify_parity(proof45, ctx45):
+    """The Python scalar fallback and the native batched verifier must make
+    identical accept/reject decisions (the fallback ships on hosts without
+    a C toolchain; pin it explicitly — CLAUDE.md bit-exactness invariant)."""
+    from lambda_snark_tpu.proof import fri as fri_mod
+
+    r1cs, w, proof = proof45
+    # a tampered variant (leaf value) that must be rejected on both paths
+    q0 = proof.fri.queries[0]
+    op0 = q0.input_openings[0]
+    vals = list(op0.values)
+    vals[0] = (vals[0] + 1) % r1cs.modulus
+    bad_q0 = dataclasses.replace(
+        q0, input_openings=(dataclasses.replace(op0, values=tuple(vals)),)
+    )
+    bad = dataclasses.replace(
+        proof,
+        fri=dataclasses.replace(
+            proof.fri, queries=(bad_q0,) + proof.fri.queries[1:]
+        ),
+    )
+    saved = fri_mod.NATIVE_VERIFY
+    decisions = {}
+    try:
+        for native in (False, True):
+            fri_mod.NATIVE_VERIFY = native
+            decisions[native] = (
+                verify_r1cs_succinct(proof, [1], r1cs, min_params=FAST),
+                verify_r1cs_succinct(bad, [1], r1cs, min_params=FAST),
+            )
+    finally:
+        fri_mod.NATIVE_VERIFY = saved
+    assert decisions[False] == decisions[True] == (True, False)
