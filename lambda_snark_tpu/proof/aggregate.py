@@ -423,10 +423,10 @@ def verify_r1cs_succinct_aggregate(
     #    from the single-statement verifier)
     alphas: List[int] = []
     betas: List[int] = []
-    from .succinct import commitment_digest_words
+    from .succinct import statement_binding_words
 
     for st, public in zip(proof.statements, public_inputs_list):
-        comm_words = list(commitment_digest_words(st.commitment_q)) + _roots_to_words(
+        comm_words = list(statement_binding_words(st.commitment_q, r1cs)) + _roots_to_words(
             [st.input_root]
         )
         ch_alpha = Challenge.derive(public, comm_words, q)

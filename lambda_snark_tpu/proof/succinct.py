@@ -100,6 +100,24 @@ def commitment_digest_words(commitment) -> "np.ndarray":
     return np.frombuffer(dig, dtype="<u8")
 
 
+def statement_binding_words(commitment, r1cs) -> "np.ndarray":
+    """The v4 challenge-derivation word prefix: commitment digest ‖ circuit
+    digest (8 LE64 words). Unlike v1 (kept for reference parity on kinds
+    1-3), the FRI kinds bind the circuit into alpha/beta, so a proof for
+    one circuit can never verify against another of the same shape —
+    closing the v1-inherited cross-circuit malleability for kinds 7/8
+    (kind 9 is bound structurally: its verifier recomputes r^T M)."""
+    from ..utils.artifacts import circuit_digest
+
+    cdig = bytes.fromhex(circuit_digest(r1cs))
+    return np.concatenate(
+        [
+            commitment_digest_words(commitment),
+            np.frombuffer(cdig, dtype="<u8"),
+        ]
+    )
+
+
 def _check_wire_version(data: bytes, off: int) -> int:
     if off >= len(data):
         raise SerializationError("truncated proof header")
@@ -525,7 +543,7 @@ def prove_r1cs_succinct(
     # ndarray word vector: the transcript packer's vectorized path
     comm_words = np.concatenate(
         [
-            commitment_digest_words(commitment_q),
+            statement_binding_words(commitment_q, r1cs),
             np.array(_roots_to_words([root]), dtype=np.uint64),
         ]
     )
@@ -665,10 +683,11 @@ def verify_r1cs_succinct(
     if not params.at_least(floor):
         return False
 
-    # 1. dual challenges bind the commitment digest + the input root (v4)
+    # 1. dual challenges bind the commitment digest, the circuit digest and
+    #    the interleaved input root (v4)
     comm_words = np.concatenate(
         [
-            commitment_digest_words(proof.commitment_q),
+            statement_binding_words(proof.commitment_q, r1cs),
             np.array(_roots_to_words([proof.input_root]), dtype=np.uint64),
         ]
     )

@@ -486,12 +486,12 @@ def _derive_batch_challenges(r1cs, witnesses, commitments, roots, q):
     alphas = np.empty(s, dtype=np.uint64)
     betas = np.empty(s, dtype=np.uint64)
     chals = []
-    from .succinct import commitment_digest_words
+    from .succinct import statement_binding_words
 
     for i in range(s):
         comm_words = np.concatenate(
             [
-                commitment_digest_words(commitments[i]),
+                statement_binding_words(commitments[i], r1cs),
                 np.array(_roots_to_words(roots[i]), dtype=np.uint64),
             ]
         )
@@ -756,9 +756,9 @@ def _gl_batch_frontend(
     for i in range(s):
         commitment_q, _op = lwe.commit(ctx, _gl_trim(q_poly[i]), seeds[i])
         commitments.append(commitment_q)
-        from .succinct import commitment_digest_words
+        from .succinct import statement_binding_words
 
-        comm_words = list(commitment_digest_words(commitment_q)) + _roots_to_words(roots[i])
+        comm_words = list(statement_binding_words(commitment_q, r1cs)) + _roots_to_words(roots[i])
         ch_alpha, ch_beta = derive_dual(
             r1cs.public_inputs(witnesses[i]), comm_words, q
         )

@@ -93,7 +93,7 @@ from .fri import (
 from .succinct import (
     _MAGIC,
     WIRE_VERSION,
-    commitment_digest_words,
+    statement_binding_words,
     _check_wire_version,
     _gl_add_padded,
     _gl_conv,
@@ -637,7 +637,7 @@ def _prove_from_parts(
     commitment_q, _op = lwe.commit(ctx, q_coeffs, seed)
     comm_words = np.concatenate(
         [
-            commitment_digest_words(commitment_q),
+            statement_binding_words(commitment_q, r1cs),
             np.array(_roots_to_words([pre_root]), dtype=np.uint64),
         ]
     )
@@ -873,7 +873,7 @@ def verify_r1cs_witness(
 
     comm_words = np.concatenate(
         [
-            commitment_digest_words(proof.commitment_q),
+            statement_binding_words(proof.commitment_q, r1cs),
             np.array(_roots_to_words([proof.pre_root]), dtype=np.uint64),
         ]
     )

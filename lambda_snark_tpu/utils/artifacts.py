@@ -26,13 +26,24 @@ from ..r1cs.r1cs import R1CS
 
 
 def circuit_digest(r1cs: R1CS) -> str:
-    """SHA3-256 over the canonical circuit description."""
+    """SHA3-256 over the canonical circuit description.
+
+    Cached on the instance: the digest is hashed into every kind-7/8/9
+    challenge derivation (v4 circuit binding), and the O(nnz) string walk
+    would otherwise dominate the ~1.5 ms succinct verifier. Circuits are
+    de-facto immutable after construction (every API mutation goes through
+    ``dataclasses.replace``, which builds a new object)."""
+    cached = getattr(r1cs, "_circuit_digest_cache", None)
+    if cached is not None:
+        return cached
     h = hashlib.sha3_256()
     h.update(f"{r1cs.m},{r1cs.n},{r1cs.l},{r1cs.modulus},{r1cs.domain.kind}".encode())
     for mat in (r1cs.a, r1cs.b, r1cs.c):
         for row, col, val in mat.coo():
             h.update(f"{row},{col},{val};".encode())
-    return h.hexdigest()
+    digest = h.hexdigest()
+    r1cs._circuit_digest_cache = digest
+    return digest
 
 
 def statement_digest(

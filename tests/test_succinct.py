@@ -600,3 +600,28 @@ def test_scalar_vs_native_verify_parity(proof45, ctx45):
     finally:
         fri_mod.NATIVE_VERIFY = saved
     assert decisions[False] == decisions[True] == (True, False)
+
+
+def test_cross_circuit_swap_rejected(ctx45):
+    """v4 binds the circuit digest into alpha: a kind-7 proof for one
+    circuit must NOT verify against a different circuit of the same shape
+    (the v1 formats keep this malleability for reference parity; the FRI
+    kinds are our own and close it)."""
+    m = 8
+    r1cs_a = mult_circuit(m, Q45)
+    # same shape (m, n, l, modulus, domain), one coefficient differs
+    builder = CircuitBuilder(Q45)
+    builder.alloc_var()
+    a = builder.alloc_vars(m)
+    b = builder.alloc_vars(m)
+    c = builder.alloc_vars(m)
+    builder.set_public_inputs(1)
+    builder.add_constraint([(a[0], 2)], [(b[0], 1)], [(c[0], 1)])
+    for i in range(1, m):
+        builder.mul_gate(a[i], b[i], c[i])
+    r1cs_b = builder.build()
+    assert (r1cs_b.m, r1cs_b.n, r1cs_b.l) == (r1cs_a.m, r1cs_a.n, r1cs_a.l)
+    w = mult_witness(m, Q45)
+    proof = prove_r1cs_succinct(r1cs_a, w, ctx45, seed=5, fri_params=FAST)
+    assert verify_r1cs_succinct(proof, [1], r1cs_a, min_params=FAST)
+    assert not verify_r1cs_succinct(proof, [1], r1cs_b, min_params=FAST)
