@@ -87,7 +87,7 @@ from .verifier import (
     verify_simple,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.8.0"
 
 __all__ = [
     "Challenge",
