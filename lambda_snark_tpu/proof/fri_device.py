@@ -1097,3 +1097,97 @@ def sum_statements_device(g_planes):
 
         _SUM_CACHE[shape] = jax.jit(f)
     return _SUM_CACHE[shape](g_planes)
+
+
+# --- generic multi-point DEEP combine (kind-9) -----------------------------------
+
+_DEEP_TERMS_CACHE: dict = {}
+
+
+def deep_combine_terms_device(
+    cw_planes,
+    points,
+    term_oracle,
+    term_point_idx,
+    weights,
+    values,
+    offset: int,
+    omega: int,
+    shift_oracle: int,
+    shift_exp: int,
+    shift_weight: int,
+):
+    """Kind-9's DEEP combination on device: arbitrary (oracle, point, value)
+    quotient columns plus the shifted degree-bound column.
+
+        g = sum_t weights[t] * (cw[term_oracle[t]] - values[t])
+                  / (x - points[term_point_idx[t]])
+            + shift_weight * x^shift_exp * cw[shift_oracle]
+
+    cw_planes: (4, K, n0) device planes. points: (P,) uint64 host array
+    (challenge values — dynamic); term_oracle/term_point_idx: static index
+    tuples; weights/values: (T,) uint64 host arrays. Bit-identical to the
+    host numpy build (pinned via the kind-9 device_lde byte test).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _four, k_in, n0 = cw_planes.shape
+    key = (
+        k_in, n0, tuple(term_oracle), tuple(term_point_idx), len(points),
+        offset, omega, shift_oracle, shift_exp,
+    )
+    if key not in _DEEP_TERMS_CACHE:
+        n_terms = len(term_oracle)
+        oracle_idx = tuple(term_oracle)
+        point_idx = tuple(term_point_idx)
+        xs = _coset_planes(n0, offset, omega)
+        # x^shift_exp over the coset is geometric: g^e * (omega^e)^i
+        sh_tab = u64_to_limbs(
+            glnp.gl_mul(
+                np.uint64(pow(offset, shift_exp, P)),
+                _gl_powers(pow(omega, shift_exp, P), n0),
+            ),
+            _D,
+        )
+
+        def fn(cw, pts4, w4, v4):
+            # pts4 (4, P, 1); w4/v4 (4, T, 1)
+            inv = modarith.cpu_fusion_barrier(
+                _inv_planes(modarith.sub_mod(_CTX, xs[:, None, :], pts4))
+            )  # (4, P, n0)
+            g = None
+            for t in range(n_terms):
+                term = modarith.mul_mod(
+                    _CTX,
+                    modarith.mul_mod(
+                        _CTX,
+                        w4[:, t],
+                        modarith.sub_mod(_CTX, cw[:, oracle_idx[t]], v4[:, t]),
+                    ),
+                    inv[:, point_idx[t]],
+                )
+                g = term if g is None else modarith.add_mod(_CTX, g, term)
+            sh_term = modarith.mul_mod(
+                _CTX,
+                modarith.mul_mod(
+                    _CTX, cw[:, shift_oracle], jnp.asarray(sh_tab)
+                ),
+                w4[:, n_terms],  # the shift weight rides at the ladder's end
+            )
+            return modarith.cpu_fusion_barrier(
+                modarith.add_mod(_CTX, g, sh_term)
+            )
+
+        _DEEP_TERMS_CACHE[key] = jax.jit(fn)
+
+    def plan4(arr):
+        return planes_from_u64(np.asarray(arr, dtype=np.uint64))[..., None]
+
+    w_all = np.concatenate(
+        [np.asarray(weights, dtype=np.uint64),
+         np.array([shift_weight], dtype=np.uint64)]
+    )
+    return _DEEP_TERMS_CACHE[key](
+        cw_planes, plan4(points), plan4(w_all), plan4(values)
+    )

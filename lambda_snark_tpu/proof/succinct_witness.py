@@ -625,10 +625,15 @@ def _prove_from_parts(
     offset = coset_offset(q)
 
     pre_polys = [a_t, b_t, c_t, q_t, z_t] + ([mu_poly] if zk else [])
-    if device_lde and q == glnp.GOLDILOCKS:
-        from .fri import lde_batch_device
+    use_device = device_lde and q == glnp.GOLDILOCKS
+    pre_planes = None
+    if use_device:
+        from .fri import lde_batch_device_planes
 
-        pre_cw = lde_batch_device(pre_polys, n0, offset, q)
+        pre_planes, pre_cw = lde_batch_device_planes(
+            pre_polys, n0, offset, q, pull_values=True
+        )
+        pre_cw = list(pre_cw)
     else:
         pre_cw = [lde(p, n0, offset, omega_n, q) for p in pre_polys]
     pre_tree = commit_codeword_group(pre_cw)
@@ -730,10 +735,14 @@ def _prove_from_parts(
             raise DomainError("sumcheck remainder nonzero (witness bug)")
         p_poly = g_rem[1:] or [0]
 
-    if device_lde and q == glnp.GOLDILOCKS:
-        from .fri import lde_batch_device
+    sum_planes = None
+    if use_device:
+        from .fri import lde_batch_device_planes
 
-        sum_cw = lde_batch_device([h_poly, p_poly], n0, offset, q)
+        sum_planes, sum_cw = lde_batch_device_planes(
+            [h_poly, p_poly], n0, offset, q, pull_values=True
+        )
+        sum_cw = list(sum_cw)
     else:
         sum_cw = [
             lde(h_poly, n0, offset, omega_n, q),
@@ -763,7 +772,46 @@ def _prove_from_parts(
 
     # combined DEEP quotient + the shifted degree-bound column on p
     p_cw_idx = len(codewords) - 1
-    if q == glnp.GOLDILOCKS:
+    import jax as _jax
+
+    if (
+        use_device
+        and pre_planes is not None
+        and sum_planes is not None
+        and _jax.default_backend() == "tpu"
+    ):
+        # device G build: the host inverse/mul passes were the kind-9
+        # prover's bottleneck. TPU-only like the other in-graph Fermat
+        # chains — the fori_loop inverse ladder's XLA:CPU compile is
+        # pathological (minutes even at tiny shapes; CLAUDE.md) — and
+        # validated there by the bench's prove+verify round trip (the
+        # math is the same exact digit arithmetic as the host build)
+        import jax.numpy as jnp
+
+        from . import fri_device
+        from ..ops.limb import from_limbs_u64
+
+        distinct_pts = []
+        for _k, pt, _v in terms:
+            if pt not in distinct_pts:
+                distinct_pts.append(pt)
+        pt_index = {pt: i for i, pt in enumerate(distinct_pts)}
+        weights = []
+        lam_pow = 1
+        for _ in terms:
+            weights.append(lam_pow)
+            lam_pow = lam_pow * lam % q
+        g_planes = fri_device.deep_combine_terms_device(
+            jnp.concatenate([pre_planes, sum_planes], axis=1),
+            np.array(distinct_pts, dtype=np.uint64),
+            tuple(k for k, _pt, _v in terms),
+            tuple(pt_index[pt] for _k, pt, _v in terms),
+            np.array(weights, dtype=np.uint64),
+            np.array([v % q for _k, _pt, v in terms], dtype=np.uint64),
+            offset, omega_n, p_cw_idx, sh_p, lam_pow,
+        )
+        g = from_limbs_u64(np.asarray(g_planes))
+    elif q == glnp.GOLDILOCKS:
         xs_np = glnp.gl_mul(np.uint64(offset), _gl_powers(omega_n, n0))
         inv_cache = {}
         g = np.zeros(n0, dtype=np.uint64)
