@@ -972,6 +972,7 @@ def fri_verify(
     params: FriParams,
     tr: FriTranscript,
     deep=None,
+    g_eval_batch=None,
 ) -> bool:
     """Verify a FriProof.
 
@@ -984,6 +985,12 @@ def fri_verify(
     virtual oracle at positions ``index`` and ``index + half`` from the
     authenticated per-oracle codeword values (flattened across groups in
     group order, one lo/hi pair per oracle).
+
+    ``g_eval_batch(indices_u64, half, in_lo[q, k], in_hi[q, k]) ->
+    (g_lo[q], g_hi[q])`` optionally supplies a vectorized oracle
+    evaluation used on the native fast path when ``deep`` does not apply
+    (kind-9's multi-point/shifted combination); it must be
+    decision-identical to ``g_eval`` (raise DomainError to reject).
 
     ``deep`` optionally supplies the standard batched-DEEP oracle shape as
     six length-``n_in`` arrays ``(wa, wb, ea, eb, alphas, betas)`` meaning
@@ -1105,6 +1112,11 @@ def fri_verify(
             if g is None:
                 return False
             g_lo, g_hi = g
+        elif g_eval_batch is not None:
+            try:
+                g_lo, g_hi = g_eval_batch(idx_arr, half0, in_lo, in_hi)
+            except DomainError:
+                return False
         else:
             g_lo = np.empty(len(indices), dtype=np.uint64)
             g_hi = np.empty(len(indices), dtype=np.uint64)

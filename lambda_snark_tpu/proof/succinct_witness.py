@@ -164,8 +164,36 @@ def _witness_geometry(
 def _row_weights(r1cs: R1CS, r: int, etas: Tuple[int, int, int]):
     """(u, r_pows): u = eta_A (r^T A) + eta_B (r^T B) + eta_C (r^T C)
     (length n) plus the length-m r-power ladder it used (the verifier
-    feeds the same ladder to the R_s Lagrange sum — one O(m) pass)."""
+    feeds the same ladder to the R_s Lagrange sum — one O(m) pass).
+
+    Goldilocks path is vectorized straight off the CSR arrays: terms
+    scatter-add into split 32-bit-half accumulators (no uint64 overflow:
+    each half-term < 2^32 and per-column counts are far below 2^32),
+    canonicalized per column at the end — exact mod arithmetic, equal to
+    the generic coo loop (pinned by the kind-9 suite on both fields).
+    """
     q = r1cs.modulus
+    if q == glnp.GOLDILOCKS:
+        r_pows_np = _gl_powers(r % q, r1cs.m)
+        acc_lo = np.zeros(r1cs.n, dtype=np.uint64)
+        acc_hi = np.zeros(r1cs.n, dtype=np.uint64)
+        mask32 = np.uint64(0xFFFFFFFF)
+        for mat, eta in zip((r1cs.a, r1cs.b, r1cs.c), etas):
+            counts = np.diff(np.asarray(mat.row_ptr, dtype=np.int64))
+            rows = np.repeat(np.arange(r1cs.m, dtype=np.int64), counts)
+            cols = np.asarray(mat.col_indices, dtype=np.int64)
+            vals = np.array([v % q for v in mat.values], dtype=np.uint64)
+            terms = glnp.gl_mul(
+                glnp.gl_mul(np.uint64(eta % q), r_pows_np[rows]), vals
+            )
+            np.add.at(acc_lo, cols, terms & mask32)
+            np.add.at(acc_hi, cols, terms >> np.uint64(32))
+        # acc halves are < 2^34 (far below p): valid residues; recombine
+        # vectorized as lo + hi * 2^32 mod p
+        u_np = glnp.gl_add(
+            acc_lo, glnp.gl_mul(acc_hi, np.uint64((1 << 32) % q))
+        )
+        return u_np, r_pows_np
     r_pows = [1] * r1cs.m
     for i in range(1, r1cs.m):
         r_pows[i] = r_pows[i - 1] * r % q
@@ -195,9 +223,15 @@ def _lagrange_sum(
         dens = glnp.gl_sub(np.uint64(gamma % q), pts)
         inv = _gl_inverse_array(dens)
         terms = glnp.gl_mul(glnp.gl_mul(w, pts), inv)
-        acc = 0
-        for t in terms:
-            acc = (acc + int(t)) % q
+        # pairwise tree reduction (a scalar Python sum over m terms was
+        # the verifier's largest single cost at m=2^12)
+        while len(terms) > 1:
+            if len(terms) & 1:
+                terms = np.concatenate(
+                    [terms, np.zeros(1, dtype=np.uint64)]
+                )
+            terms = glnp.gl_add(terms[0::2], terms[1::2])
+        acc = int(terms[0])
         scale = z_g * field.mod_inverse(M % q, q) % q
         return acc * scale % q
     pts = [pow(omega_s, k, q) for k in positions]
@@ -206,6 +240,31 @@ def _lagrange_sum(
     for w, pt, iv in zip(weights, pts, inv):
         acc = (acc + w % q * pt % q * iv) % q
     return acc * z_g % q * field.mod_inverse(M % q, q) % q
+
+
+def _lagrange_sum_geometric(
+    weights_np: np.ndarray,
+    base: int,
+    gamma: int,
+    omega_s: int,
+    M: int,
+    q: int,
+) -> int:
+    """Goldilocks ``_lagrange_sum`` for GEOMETRIC position sets: weights[k]
+    sits at point base^k (the verifier's two sums are both of this shape —
+    R_s at stride-embedded rows, U_s at consecutive columns), so the point
+    table is one doubling ladder instead of a per-exponent power ladder."""
+    z_g = (pow(gamma, M, q) - 1) % q
+    if z_g == 0:
+        raise DomainError("sumcheck point fell on the domain")
+    pts = _gl_powers(base % q, len(weights_np))
+    inv = _gl_inverse_array(glnp.gl_sub(np.uint64(gamma % q), pts))
+    terms = glnp.gl_mul(glnp.gl_mul(weights_np, pts), inv)
+    while len(terms) > 1:
+        if len(terms) & 1:
+            terms = np.concatenate([terms, np.zeros(1, dtype=np.uint64)])
+        terms = glnp.gl_add(terms[0::2], terms[1::2])
+    return int(terms[0]) * z_g % q * field.mod_inverse(M % q, q) % q
 
 
 def _gl_pow_vec_int(base: int, exps: Sequence[int]) -> np.ndarray:
@@ -972,17 +1031,31 @@ def verify_r1cs_witness(
     u, r_pows = _row_weights(r1cs, r, etas)
     stride = big_m // r1cs.m
     try:
-        r_s_g = _lagrange_sum(
-            r_pows, [i * stride for i in range(r1cs.m)], gamma, omega_s, big_m, q
-        )
-        nz = [(j, v) for j, v in enumerate(u) if v]
-        u_s_g = (
-            _lagrange_sum(
-                [v for _, v in nz], [j for j, _ in nz], gamma, omega_s, big_m, q
+        if q == glnp.GOLDILOCKS:
+            # both sums have geometric position sets: rows embed at
+            # stride s (points (w_s^s)^i), columns sit consecutively
+            r_s_g = _lagrange_sum_geometric(
+                np.asarray(r_pows, dtype=np.uint64),
+                pow(omega_s, stride, q), gamma, omega_s, big_m, q,
             )
-            if nz
-            else 0
-        )
+            u_s_g = _lagrange_sum_geometric(
+                np.asarray(u, dtype=np.uint64), omega_s, gamma, omega_s,
+                big_m, q,
+            )
+        else:
+            r_s_g = _lagrange_sum(
+                r_pows, [i * stride for i in range(r1cs.m)], gamma,
+                omega_s, big_m, q,
+            )
+            nz = [(j, v) for j, v in enumerate(u) if v]
+            u_s_g = (
+                _lagrange_sum(
+                    [v for _, v in nz], [j for j, _ in nz], gamma, omega_s,
+                    big_m, q,
+                )
+                if nz
+                else 0
+            )
     except DomainError:
         return False
     eg = proof.evals_gamma
@@ -1033,7 +1106,47 @@ def verify_r1cs_witness(
             out.append(acc)
         return out[0], out[1]
 
+    pt_index = {pt: i for i, pt in enumerate(distinct_pts)}
+
+    def g_eval_batch(idx_arr, half, in_lo, in_hi):
+        # vectorized Goldilocks form of g_eval over ALL queries at once —
+        # identical math, identical DomainError rejection on a zero
+        # denominator (fri_verify's native fast path)
+        x_lo = glnp.gl_mul(
+            np.uint64(offset % q),
+            _gl_pow_vec_int(omega_n, [int(i) for i in idx_arr]),
+        )
+        x_hi = glnp.gl_mul(x_lo, np.uint64(pow(omega_n, half, q)))
+        out = []
+        for xs, vals in ((x_lo, in_lo), (x_hi, in_hi)):
+            dens = np.stack(
+                [glnp.gl_sub(xs, np.uint64(pt % q)) for pt in distinct_pts]
+            )
+            invs = _gl_inverse_array(dens)  # raises DomainError on zero
+            acc = np.zeros(len(xs), dtype=np.uint64)
+            for w, (k, pt, v) in zip(weights, terms):
+                acc = glnp.gl_add(
+                    acc,
+                    glnp.gl_mul(
+                        glnp.gl_mul(
+                            np.uint64(w),
+                            glnp.gl_sub(vals[:, k], np.uint64(v % q)),
+                        ),
+                        invs[pt_index[pt]],
+                    ),
+                )
+            acc = glnp.gl_add(
+                acc,
+                glnp.gl_mul(
+                    np.uint64(w_shift),
+                    glnp.gl_mul(_gl_pow_array(xs, sh_p), vals[:, p_idx]),
+                ),
+            )
+            out.append(acc)
+        return out[0], out[1]
+
     return fri_verify(
         proof.fri, proof.input_groups(), g_eval, n0, offset, omega_n, q,
         params, tr,
+        g_eval_batch=(g_eval_batch if q == glnp.GOLDILOCKS else None),
     )
